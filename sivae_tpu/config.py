@@ -1,0 +1,190 @@
+"""Configuration dataclasses for models, losses, optimization and training.
+
+The reference spreads experiment configuration over per-script argparse
+defaults and hard-coded constructor calls (reference main.py:36-48,
+z-1200main.py:36-60, 600z_main.py:36-68). Here every experiment is a single
+serializable config tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+# A block line is (channels, num_blocks, stride) — same encoding the reference
+# uses for its `block_setting` lists (reference models/models.py:97-102).
+BlockLine = Tuple[int, int, int]
+
+
+@dataclass(frozen=True)
+class ActivationConfig:
+    """Activation/dropout scheme distinguishing the reference model variants.
+
+    - models.py    : leaky_relu(0.2) body, relu decoder tail, dropout on
+    - models-conv-b-ReLU.py : leaky_relu everywhere, no dropout
+    - vaemodel.py  : relu body, relu tail, no dropout
+    """
+
+    body_act: str = "leaky_relu"      # "leaky_relu" | "relu"
+    negative_slope: float = 0.2
+    decoder_tail_act: str = "relu"    # activation on the decoder output conv
+    stem_dropout: float = 0.35        # encoder stem (reference models/models.py:95)
+    dec_in_dropout: float = 0.25      # decoder input block (models.py:122)
+    dec_out_dropout: float = 0.35     # decoder output block (models.py:140)
+
+    def with_no_dropout(self) -> "ActivationConfig":
+        return dataclasses.replace(
+            self, stem_dropout=0.0, dec_in_dropout=0.0, dec_out_dropout=0.0
+        )
+
+
+@dataclass(frozen=True)
+class SpatialVAEConfig:
+    """Spatial-latent ResNet S-IntroVAE/VAE/CAE family.
+
+    Mirrors reference models/models.py ResNetEncoder/ResNetDecoder driven by
+    `block_setting`; the latent is a 1-channel spatial map (e.g. 10x12x10 =
+    1200-d for `SoftIntroVAE(64, [[64,1,2],[128,1,2],[256,2,2]])`,
+    reference z-1200main.py:158).
+    """
+
+    in_ch: int = 64
+    block_setting: Tuple[BlockLine, ...] = ((64, 1, 2), (128, 1, 2), (256, 2, 2))
+    input_shape: Tuple[int, int, int] = (80, 96, 80)  # D, H, W
+    act: ActivationConfig = field(default_factory=ActivationConfig)
+    variational: bool = True   # False => CAE (single 1x1 head, no mu/var)
+    dtype: Any = jnp.float32   # compute dtype (bfloat16 on TPU hot path)
+    param_dtype: Any = jnp.float32
+
+    @property
+    def latent_spatial_shape(self) -> Tuple[int, int, int]:
+        d, h, w = self.input_shape
+        for _, _, s in self.block_setting:
+            d, h, w = d // s, h // s, w // s
+        return (d, h, w)
+
+    @property
+    def latent_shape(self) -> Tuple[int, int, int, int]:
+        """Per-sample latent shape in NDHWC (trailing channel of 1)."""
+        return self.latent_spatial_shape + (1,)
+
+    @property
+    def latent_dim(self) -> int:
+        d, h, w = self.latent_spatial_shape
+        return d * h * w
+
+
+@dataclass(frozen=True)
+class FCVAEConfig:
+    """FC-latent ("vector z") family, reference models/mymodel.py.
+
+    Four stages of stride-2 AvgPool with hand-placed skip connections down to
+    a (5,6,5) grid, then Linear(forth_ch*150 -> 2*z_ch) split into (mu,
+    logvar); z_ch in {150, 300, 600} (reference 600z_main.py:176).
+    """
+
+    first_ch: int = 12
+    second_ch: int = 24
+    third_ch: int = 32
+    forth_ch: int = 48
+    z_ch: int = 150
+    input_shape: Tuple[int, int, int] = (80, 96, 80)
+    act: ActivationConfig = field(
+        default_factory=lambda: ActivationConfig().with_no_dropout()
+    )
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @property
+    def bottleneck_spatial_shape(self) -> Tuple[int, int, int]:
+        d, h, w = self.input_shape
+        return (d // 16, h // 16, w // 16)
+
+    @property
+    def latent_shape(self) -> Tuple[int, ...]:
+        return (self.z_ch,)
+
+    @property
+    def latent_dim(self) -> int:
+        return self.z_ch
+
+
+# ---------------------------------------------------------------------------
+# Loss / optimization / training configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SoftIntroLossConfig:
+    """Soft-IntroVAE loss hyper-parameters (reference utils/my_trainer.py:188-198).
+
+    `scale` is the paper's normalizing constant s; the reference uses
+    8 / (80*96*80).  `loss_multiplier` reproduces the x10 applied to both
+    lossE and lossD (my_trainer.py:284,321); the DataParallel variant uses
+    multiplier 1.0 and expELBO weight 0.25 (main_DataParallel.py:470).
+    """
+
+    beta_rec: float = 1.0
+    beta_neg: float = 1024.0
+    beta_kl: float = 0.75
+    gamma_r: float = 1e-8
+    scale: Optional[float] = None  # None => 8 / prod(input_shape)
+    exp_elbo_weight: float = 0.5
+    loss_multiplier: float = 10.0
+
+    def resolved_scale(self, input_shape: Sequence[int]) -> float:
+        if self.scale is not None:
+            return self.scale
+        n = 1
+        for s in input_shape:
+            n *= s
+        return 8.0 / n
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Adam + MultiStep LR (reference my_trainer.py:183-186)."""
+
+    lr: float = 2e-4
+    milestones: Tuple[int, ...] = (350,)  # in epochs
+    gamma: float = 0.1
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 500
+    batch_size: int = 8
+    seed: int = 77                 # trainer seed (my_trainer.py:160)
+    steps_per_epoch: Optional[int] = None  # None => derived from dataset
+    num_epochs_warm_start: int = 0
+    checkpoint_every_epochs: int = 1
+    eval_every_epochs: int = 1
+    val_eps: float = 0.1           # fixed val-reparam eps (models/models.py:269)
+    log_images_every_epochs: int = 20
+    mesh_shape: Tuple[int, ...] = (-1,)   # data-parallel axis; -1 => all devices
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+
+
+def to_json(cfg: Any) -> str:
+    """Serialize any config dataclass tree to JSON (for run provenance,
+    replacing the reference's `my_args.txt` dump, main.py:152-153)."""
+
+    def default(o: Any):
+        if dataclasses.is_dataclass(o):
+            return dataclasses.asdict(o)
+        if hasattr(o, "dtype") or isinstance(o, type):
+            return str(o)
+        return str(o)
+
+    return json.dumps(dataclasses.asdict(cfg), default=default, indent=2)

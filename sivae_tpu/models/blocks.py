@@ -1,0 +1,190 @@
+"""Core 3D conv building blocks (flax.linen, NDHWC layout).
+
+TPU-first re-design of the reference block scheme
+(reference models/models.py:8-80):
+
+- `ConvBlock`   — conv3x3x3 -> BN -> act -> AvgPool(s) -> conv3x3x3 -> BN,
+  residual (with 1x1 projection when channels change) iff stride == 1.
+- `UpBlock`     — conv3x3x3 -> BN -> act -> nearest-Upsample(s) ->
+  conv3x3x3 -> BN, same residual rule.
+
+Layout: all tensors are (N, D, H, W, C). XLA on TPU maps channels-last 3D
+convolutions directly onto the MXU; NCDHW (the torch layout) would insert
+transposes around every conv.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sivae_tpu.config import ActivationConfig
+
+Array = jnp.ndarray
+
+# He-normal initialisation — parity with the reference's
+# `nn.init.kaiming_normal_(w, nonlinearity="leaky_relu")` applied to every
+# conv (reference utils/my_trainer.py:511-514): gain 2.0 / fan_in, normal.
+he_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def make_act(cfg: ActivationConfig, which: str = "body") -> Callable[[Array], Array]:
+    name = cfg.body_act if which == "body" else cfg.decoder_tail_act
+    if name == "leaky_relu":
+        slope = cfg.negative_slope
+        return lambda x: nn.leaky_relu(x, negative_slope=slope)
+    if name == "relu":
+        return nn.relu
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def avg_pool3d(x: Array, stride: int) -> Array:
+    """Non-overlapping 3D average pool (torch AvgPool3d(kernel_size=s))."""
+    if stride == 1:
+        return x
+    s = (stride, stride, stride)
+    return nn.avg_pool(x, window_shape=s, strides=s)
+
+
+def upsample_nearest3d(x: Array, scale: int) -> Array:
+    """Nearest-neighbour 3D upsample (torch nn.Upsample(scale_factor=s))."""
+    if scale == 1:
+        return x
+    x = jnp.repeat(x, scale, axis=1)
+    x = jnp.repeat(x, scale, axis=2)
+    x = jnp.repeat(x, scale, axis=3)
+    return x
+
+
+class Conv3d(nn.Module):
+    """3x3x3 (or custom) conv in NDHWC with He init."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=(1, 1, 1),
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=he_normal,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over (N, D, H, W) with running stats.
+
+    momentum=0.9 here == torch BatchNorm3d momentum=0.1 (flax keeps
+    `momentum` fraction of the old running stat). eps matches torch 1e-5.
+    """
+
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    """Downsampling residual block (reference models/models.py:8-43).
+
+    conv3 -> BN -> act -> AvgPool(stride) -> conv3 -> BN; when stride == 1
+    the input is added back (1x1 projection if channel counts differ) before
+    the output activation.
+    """
+
+    out_ch: int
+    stride: int
+    act: ActivationConfig
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        act = make_act(self.act)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = Conv3d(self.out_ch, use_bias=self.use_bias, **kw)(x)
+        h = BatchNorm(**kw)(h, train)
+        h = act(h)
+        h = avg_pool3d(h, self.stride)
+        h = Conv3d(self.out_ch, use_bias=self.use_bias, **kw)(h)
+        h = BatchNorm(**kw)(h, train)
+        if self.stride == 1:
+            shortcut = x
+            if x.shape[-1] != self.out_ch:
+                shortcut = Conv3d(self.out_ch, kernel_size=(1, 1, 1), use_bias=True, **kw)(x)
+            h = h + shortcut
+        return act(h)
+
+
+class UpBlock(nn.Module):
+    """Upsampling residual block (reference models/models.py:46-80).
+
+    conv3 (keeps in_ch) -> BN -> act -> nearest-upsample(stride) ->
+    conv3 (to out_ch) -> BN; residual iff stride == 1.
+    """
+
+    out_ch: int
+    stride: int
+    act: ActivationConfig
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        act = make_act(self.act)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        in_ch = x.shape[-1]
+        h = Conv3d(in_ch, use_bias=self.use_bias, **kw)(x)
+        h = BatchNorm(**kw)(h, train)
+        h = act(h)
+        h = upsample_nearest3d(h, self.stride)
+        h = Conv3d(self.out_ch, use_bias=self.use_bias, **kw)(h)
+        h = BatchNorm(**kw)(h, train)
+        if self.stride == 1:
+            shortcut = x
+            if in_ch != self.out_ch:
+                shortcut = Conv3d(self.out_ch, kernel_size=(1, 1, 1), use_bias=True, **kw)(x)
+            h = h + shortcut
+        return act(h)
+
+
+class ConvBNAct(nn.Module):
+    """conv3 -> BN -> act [-> dropout] — the stem / plain-stage unit."""
+
+    out_ch: int
+    act: ActivationConfig
+    dropout: float = 0.0
+    use_bias: bool = True
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = Conv3d(self.out_ch, kernel_size=self.kernel_size, use_bias=self.use_bias, **kw)(x)
+        h = BatchNorm(**kw)(h, train)
+        h = make_act(self.act)(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        return h
