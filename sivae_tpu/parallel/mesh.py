@@ -1,0 +1,70 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for the
+reference's torch.nn.DataParallel (main_DataParallel.py:609, SURVEY §2.3).
+
+Design: pure data parallelism via XLA GSPMD. The train step stays a plain
+jitted function; we place the batch with NamedSharding(P("data")) and
+replicate the train state. XLA partitions the program and inserts the
+gradient all-reduces (psum) over ICI. BatchNorm statistics are computed over
+the GLOBAL batch (XLA inserts the cross-replica mean) — stronger than the
+reference's per-replica DataParallel BN; documented parity decision.
+
+Multi-host: the same program works under jax.distributed.initialize with a
+process-spanning mesh; `shard_batch` uses
+jax.make_array_from_process_local_data so each host feeds only its shard.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Tuple[int, ...] = (-1,),
+    axis_names: Tuple[str, ...] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a device mesh. shape=(-1,) uses all devices on one axis."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    shape = tuple(shape)
+    if shape.count(-1) == 1:
+        known = int(np.prod([s for s in shape if s != -1])) if len(shape) > 1 else 1
+        shape = tuple(n // known if s == -1 else s for s in shape)
+    mesh_devices = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(mesh_devices, axis_names)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for a batch array: leading dim split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Place a host batch (numpy or jax array/pytree) sharded over `axis`.
+
+    In multi-process mode each process passes its local shard and the global
+    array is assembled across hosts.
+    """
+    sharding = data_sharding(mesh, axis)
+
+    def put(x):
+        x = np.asarray(x)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (train state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), state)

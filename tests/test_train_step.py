@@ -1,0 +1,155 @@
+"""Tests for the jitted two-phase Soft-IntroVAE step and VAE/CAE steps.
+
+Covers: metric sanity, parameter/BN-state updates, determinism, and
+single-device vs 8-device data-parallel equivalence (the DataParallel
+replacement, SURVEY §2.3).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sivae_tpu.config import OptimConfig, SoftIntroLossConfig
+from sivae_tpu.models.registry import get_model_config, make_model
+from sivae_tpu.parallel import make_mesh, replicate_state, shard_batch
+from sivae_tpu.train import (
+    create_train_state,
+    make_cae_train_step,
+    make_soft_intro_eval_step,
+    make_soft_intro_train_step,
+    make_vae_train_step,
+)
+
+CFG = get_model_config("tiny_spatial")
+LOSS = SoftIntroLossConfig(scale=8.0 / (16 * 16 * 16))
+OPT = OptimConfig()
+
+
+def _setup(batch=8, seed=0):
+    model = make_model(CFG)
+    x = jax.random.uniform(jax.random.key(seed), (batch,) + CFG.input_shape + (1,))
+    state = create_train_state(model, jax.random.key(1), x[:1], OPT, steps_per_epoch=10)
+    step = make_soft_intro_train_step(model, LOSS, OPT, 10, CFG.input_shape)
+    return model, x, state, step
+
+
+@pytest.fixture(scope="module")
+def trained_once():
+    model, x, state, step = _setup()
+    jstep = jax.jit(step, donate_argnums=(0,))
+    snap = jax.tree_util.tree_map(
+        np.array, (state.enc_params, state.dec_params, state.enc_stats, state.dec_stats))
+    new_state, metrics = jstep(state, x)
+    return model, x, snap, new_state, jax.device_get(metrics)
+
+
+def test_metrics_finite(trained_once):
+    *_, metrics = trained_once
+    for k, v in metrics.items():
+        if k == "nan":
+            assert not bool(v)
+        else:
+            assert np.isfinite(v), f"{k} not finite: {v}"
+
+
+def test_params_and_stats_update(trained_once):
+    _, _, snap, new_state, _ = trained_once
+    enc_p0, dec_p0, enc_s0, dec_s0 = snap
+    assert int(new_state.step) == 1
+
+    def changed(old_tree, new_tree):
+        olds = jax.tree_util.tree_leaves(old_tree)
+        news = jax.tree_util.tree_leaves(new_tree)
+        return any(not np.allclose(o, np.asarray(n)) for o, n in zip(olds, news))
+
+    assert changed(enc_p0, new_state.enc_params), "encoder must update"
+    assert changed(dec_p0, new_state.dec_params), "decoder must update"
+    assert changed(enc_s0, new_state.enc_stats), "enc BN stats must update"
+    assert changed(dec_s0, new_state.dec_stats), "dec BN stats must update"
+
+
+def test_step_deterministic():
+    model, x, state, step = _setup()
+    jstep = jax.jit(step)
+    s1, m1 = jstep(state, x)
+    s2, m2 = jstep(state, x)
+    np.testing.assert_array_equal(np.asarray(m1["lossE"]), np.asarray(m2["lossE"]))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.enc_params),
+                    jax.tree_util.tree_leaves(s2.enc_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_data_parallel_matches_single_device():
+    """jit+GSPMD over an 8-device mesh must reproduce the single-device step."""
+    model, x, state, step = _setup(batch=8)
+    jstep = jax.jit(step)
+    ref_state, ref_metrics = jstep(state, x)
+
+    mesh = make_mesh((8,), ("data",))
+    dp_state = replicate_state(state, mesh)
+    dp_x = shard_batch(np.asarray(x), mesh)
+    dp_new, dp_metrics = jstep(dp_state, dp_x)
+
+    np.testing.assert_allclose(
+        float(ref_metrics["lossE"]), float(dp_metrics["lossE"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(ref_metrics["lossD"]), float(dp_metrics["lossD"]), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.enc_params),
+                    jax.tree_util.tree_leaves(dp_new.enc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_eval_step_runs():
+    model, x, state, _ = _setup()
+    ev = jax.jit(make_soft_intro_eval_step(model, LOSS, CFG.input_shape))
+    metrics = jax.device_get(ev(state, x, jax.random.key(3)))
+    for k, v in metrics.items():
+        assert np.isfinite(v), f"{k} not finite"
+
+
+def test_eval_deterministic_given_rng():
+    model, x, state, _ = _setup()
+    ev = jax.jit(make_soft_intro_eval_step(model, LOSS, CFG.input_shape))
+    m1 = ev(state, x, jax.random.key(3))
+    m2 = ev(state, x, jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(m1["lossE"]), np.asarray(m2["lossE"]))
+
+
+def test_vae_train_step():
+    cfg = get_model_config("tiny_spatial")
+    model = make_model(cfg)
+    x = jax.random.uniform(jax.random.key(0), (4,) + cfg.input_shape + (1,))
+    state = create_train_state(model, jax.random.key(1), x[:1], OPT,
+                               steps_per_epoch=10, joint_optimizer=True)
+    step = jax.jit(make_vae_train_step(model, OPT, 10, mse_w=1.0, kl_w=20.0))
+    new_state, metrics = step(state, x)
+    assert np.isfinite(metrics["loss"])
+    assert int(new_state.step) == 1
+
+
+def test_cae_train_step():
+    import dataclasses
+
+    from sivae_tpu.models.resnet_vae import SpatialDecoder, SpatialEncoder
+    from sivae_tpu.train.state import SIVAETrainState, make_optimizer
+
+    cfg = dataclasses.replace(get_model_config("tiny_spatial"), variational=False)
+    enc, dec = SpatialEncoder(cfg), SpatialDecoder(cfg)
+    x = jax.random.uniform(jax.random.key(0), (4,) + cfg.input_shape + (1,))
+    ev = enc.init({"params": jax.random.key(1), "dropout": jax.random.key(2)}, x)
+    z = enc.apply(ev, x, train=False)
+    dv = dec.init({"params": jax.random.key(3), "dropout": jax.random.key(4)}, z)
+    opt = make_optimizer(OPT, 10)
+    params = (ev["params"], dv["params"])
+    state = SIVAETrainState(
+        enc_params=ev["params"], dec_params=dv["params"],
+        enc_stats=ev.get("batch_stats", {}), dec_stats=dv.get("batch_stats", {}),
+        opt_e=opt.init(params), opt_d=(),
+        rng=jax.random.key(5), step=jnp.zeros((), jnp.int32),
+    )
+    step = jax.jit(make_cae_train_step(enc, dec, OPT, 10))
+    new_state, metrics = step(state, x)
+    assert np.isfinite(metrics["loss"])
