@@ -1,0 +1,142 @@
+"""Data layer tests: catalog walk, preprocessing parity, split, pipeline,
+on-device augmentation."""
+
+import pickle
+
+import jax
+import numpy as np
+import pytest
+
+from sivae_tpu.data import (
+    CLASS_MAP,
+    BrainDataSource,
+    DataPipeline,
+    SyntheticBrainSource,
+    grouped_split,
+    load_data,
+    preprocess_batch,
+    preprocess_voxel_np,
+    synthetic_brain_batch,
+)
+from sivae_tpu.data.augment import random_affine_batch, random_noise_batch
+
+
+@pytest.fixture()
+def fake_tree(tmp_path):
+    """Minimal radiology tree: ADNI2 layout <root>/JHU-radiology/20170509/
+    <class>/<pid>/..._Suid_x.pkl (uid parsing: name.split('_')[-2][1:])."""
+    root = tmp_path / "radiology_datas"
+    base = root / "JHU-radiology" / "20170509"
+    recs = [
+        ("CN", "p01", 101), ("CN", "p01", 102), ("CN", "p02", 103),
+        ("AD", "p03", 201), ("AD", "p04", 202),
+    ]
+    for label, pid, uid in recs:
+        d = base / label / pid
+        d.mkdir(parents=True, exist_ok=True)
+        vox = np.random.RandomState(uid).rand(4, 5, 4).astype(np.float32)
+        with open(d / f"scan_half_brain_S{uid}_1.pkl", "wb") as f:
+            pickle.dump(vox, f)
+    # blacklist uid 202
+    bl = root / "util" / "lists" / "x"
+    bl.mkdir(parents=True)
+    (bl / "uids.txt").write_text("202\n")
+    return root
+
+
+def test_load_data_walk_and_schema(fake_tree):
+    data = load_data(kinds=["ADNI2"], classes=["CN", "AD"], root=fake_tree)
+    assert len(data) == 5
+    rec = data[0]
+    assert set(rec) >= {"uid", "pid", "label", "nu_label", "path", "voxel"}
+    assert rec["nu_label"] == CLASS_MAP[rec["label"]]
+    assert rec["voxel"].shape == (4, 5, 4)
+    assert rec["voxel"].dtype == np.float32
+    assert {d["uid"] for d in data} == {101, 102, 103, 201, 202}
+
+
+def test_load_data_filters(fake_tree):
+    # blacklist removes uid 202
+    data = load_data(kinds=["ADNI2"], classes=["CN", "AD"], blacklist=True,
+                     root=fake_tree, load_voxels=False)
+    assert {d["uid"] for d in data} == {101, 102, 103, 201}
+    # unique keeps newest scan per patient (p01 has 101,102 -> keep 102)
+    data = load_data(kinds=["ADNI2"], classes=["CN", "AD"], unique=True,
+                     root=fake_tree, load_voxels=False)
+    assert {d["uid"] for d in data} == {102, 103, 201, 202}
+    # uid / pid filters
+    data = load_data(kinds=["ADNI2"], classes=["CN", "AD"], uids=[103],
+                     root=fake_tree, load_voxels=False)
+    assert len(data) == 1 and data[0]["pid"] == "p02"
+    data = load_data(kinds=["ADNI2"], classes=["CN"], pids=["p01"],
+                     root=fake_tree, load_voxels=False)
+    assert {d["uid"] for d in data} == {101, 102}
+
+
+def test_preprocess_parity_np_vs_jax():
+    vox, _ = synthetic_brain_batch(3, (16, 20, 16), seed=1)
+    dev = np.asarray(preprocess_batch(vox))
+    for i in range(3):
+        host = preprocess_voxel_np(vox[i])
+        np.testing.assert_allclose(dev[i, ..., 0], host, rtol=1e-5, atol=1e-6)
+    assert dev.min() >= 0.0 and dev.max() <= 1.0 + 1e-6
+    assert dev.shape == (3, 16, 20, 16, 1)
+
+
+def test_grouped_split_no_patient_overlap():
+    src = SyntheticBrainSource(40, shape=(8, 8, 8), seed=0)
+    labels = [r["nu_label"] for r in src.records]
+    pids = [r["pid"] for r in src.records]
+    tid, vid = grouped_split(labels, pids, n_splits=5, split_index=4, seed=103)
+    train_pids = {pids[i] for i in tid}
+    val_pids = {pids[i] for i in vid}
+    assert train_pids.isdisjoint(val_pids)
+    assert len(tid) + len(vid) == 40
+
+
+def test_pipeline_shapes_and_determinism():
+    src = BrainDataSource(SyntheticBrainSource(10, shape=(8, 8, 8), seed=0).records)
+    pipe = DataPipeline(src, batch_size=4, shuffle=True, seed=7)
+    assert pipe.steps_per_epoch == 2
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 2
+    vox, lab = batches[0]
+    assert vox.shape == (4, 8, 8, 8, 1)
+    assert lab.shape == (4,)
+    # same epoch index -> same order
+    again = list(pipe.epoch(0))
+    np.testing.assert_array_equal(np.asarray(batches[0][1]), np.asarray(again[0][1]))
+    # different epoch -> different order (10 items, overwhelmingly likely)
+    other = list(pipe.epoch(1))
+    assert not all(
+        np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        for a, b in zip(batches, other))
+
+
+def test_random_affine_identity_when_p_zero():
+    vox, _ = synthetic_brain_batch(2, (12, 12, 12), seed=2)
+    out = random_affine_batch(jax.random.key(0), vox, degrees=15.0, p=0.0)
+    np.testing.assert_allclose(np.asarray(out), vox, atol=1e-5)
+
+
+def test_random_affine_rotates():
+    vox, _ = synthetic_brain_batch(2, (12, 12, 12), seed=2)
+    out = np.asarray(random_affine_batch(jax.random.key(0), vox, degrees=15.0, p=1.0))
+    assert out.shape == vox.shape
+    assert not np.allclose(out, vox)
+    # mass approximately preserved (rotation of a centered blob, zero fill)
+    assert abs(out.sum() - vox.sum()) / vox.sum() < 0.15
+
+
+def test_random_affine_channel_axis():
+    vox, _ = synthetic_brain_batch(2, (12, 12, 12), seed=2)
+    out = random_affine_batch(jax.random.key(0), vox[..., None], degrees=10.0, p=1.0)
+    assert out.shape == vox.shape + (1,)
+
+
+def test_random_noise():
+    vox = np.zeros((4, 6, 6, 6), np.float32)
+    out = np.asarray(random_noise_batch(jax.random.key(0), vox, mean=1.0, std=0.01, p=1.0))
+    assert abs(out.mean() - 1.0) < 0.01
+    out0 = np.asarray(random_noise_batch(jax.random.key(0), vox, p=0.0))
+    np.testing.assert_array_equal(out0, vox)
