@@ -1,0 +1,179 @@
+"""Benchmark: Soft-IntroVAE 1200-d training throughput (volumes/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N}
+
+- value: volumes/sec through the full two-phase adversarial train step on
+  the flagship spatial 1200-d config (reference z-1200main.py:158, batch=8,
+  80x96x80 volumes), bf16 conv compute / fp32 params+losses, on the
+  available accelerator.
+- vs_baseline: ratio vs the PyTorch-CPU reference implementation running
+  the same two-phase step (BASELINE.json target: >=5x). The torch number
+  is measured once against /root/reference's model code and cached in
+  baseline_cpu.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "baseline_cpu.json")
+
+
+def measure_tpu(batch: int, steps: int, warmup: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from sivae_tpu.config import OptimConfig, SoftIntroLossConfig
+    from sivae_tpu.data.preprocess import preprocess_batch
+    from sivae_tpu.data.synthetic import synthetic_brain_batch
+    from sivae_tpu.models.registry import get_model_config, make_model
+    from sivae_tpu.train.state import create_train_state
+    from sivae_tpu.train.step import make_soft_intro_train_step
+
+    cfg = dataclasses.replace(get_model_config("spatial_1200"), dtype=jnp.bfloat16)
+    model = make_model(cfg)
+    vox, _ = synthetic_brain_batch(batch, cfg.input_shape, seed=0)
+    x = preprocess_batch(jax.device_put(vox))
+
+    state = create_train_state(
+        model, jax.random.key(0),
+        jnp.zeros((1,) + cfg.input_shape + (1,), jnp.float32),
+        OptimConfig(), steps_per_epoch=100)
+    step = jax.jit(
+        make_soft_intro_train_step(
+            model, SoftIntroLossConfig(), OptimConfig(), 100, cfg.input_shape),
+        donate_argnums=(0,))
+
+    for _ in range(warmup):
+        state, metrics = step(state, x)
+    jax.block_until_ready(metrics["lossE"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, x)
+    jax.block_until_ready(metrics["lossE"])
+    dt = time.perf_counter() - t0
+    assert not bool(metrics["nan"]), "NaN in benchmark training"
+    return batch * steps / dt
+
+
+def measure_torch_cpu_baseline(batch: int = 4, steps: int = 1) -> float:
+    """Time the reference PyTorch model's two-phase step on CPU.
+
+    Imports the reference's models/models.py (torch-only deps) and drives it
+    with the reference trainer's loss math (utils/my_trainer.py:234-324) as
+    a measurement harness.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    sys.path.insert(0, "/root/reference")
+    import models.models as ref_models  # noqa: E402
+
+    torch.manual_seed(0)
+    device = torch.device("cpu")
+    model = ref_models.SoftIntroVAE(64, [[64, 1, 2], [128, 1, 2], [256, 2, 2]]).to(device)
+    opt_e = torch.optim.Adam(model.encoder.parameters(), lr=2e-4)
+    opt_d = torch.optim.Adam(model.decoder.parameters(), lr=2e-4)
+    scale = 8.0 / (80 * 96 * 80)
+    beta_rec, beta_neg, beta_kl, gamma_r = 1.0, 1024.0, 0.75, 1e-8
+
+    def recon(a, b, mean):
+        m = F.mse_loss(a.view(a.size(0), -1), b.view(b.size(0), -1), reduction="none").sum(1)
+        return m.mean() if mean else m
+
+    def kl(logvar, mu, mean):
+        k = -0.5 * torch.sum(1 + logvar - mu.view(mu.size(0), -1) ** 2
+                             - logvar.view(mu.size(0), -1).exp(), dim=1)
+        return k.mean() if mean else k
+
+    x = torch.rand(batch, 1, 80, 96, 80)
+
+    def one_step():
+        noise = torch.randn(batch, 1, 10, 12, 10)
+        for p in model.encoder.parameters():
+            p.requires_grad = True
+        for p in model.decoder.parameters():
+            p.requires_grad = False
+        fake = model.decode(noise)
+        mu, logvar = model.encode(x)
+        z = model.reparameterize(mu, logvar)
+        rec = model.decode(z)
+        loss_rec = recon(x, rec, True)
+        kl_real = kl(logvar, mu, True)
+        rm, rl, zr, rr = model.forward(rec.detach())
+        fm, fl, zf, rf = model.forward(fake.detach())
+        e_f = (-2 * scale * (beta_rec * recon(fake, rf, False) + beta_neg * kl(fl, fm, False))).exp().mean()
+        e_r = (-2 * scale * (beta_rec * recon(rec, rr, False) + beta_neg * kl(rl, rm, False))).exp().mean()
+        lossE = 10 * (scale * (beta_rec * loss_rec + beta_kl * kl_real) + 0.5 * (e_f + e_r))
+        opt_e.zero_grad(); lossE.backward(); opt_e.step()
+        for p in model.encoder.parameters():
+            p.requires_grad = False
+        for p in model.decoder.parameters():
+            p.requires_grad = True
+        fake = model.decode(noise)
+        rec = model.decode(z.detach())
+        loss_rec = recon(x, rec, True)
+        rm, rl = model.encode(rec)
+        zr = model.reparameterize(rm, rl)
+        fm, fl = model.encode(fake)
+        zf = model.reparameterize(fm, fl)
+        rr = model.decode(zr.detach())
+        rf = model.decode(zf.detach())
+        lossD = 10 * scale * (beta_rec * loss_rec
+                              + 0.5 * beta_kl * (kl(rl, rm, True) + kl(fl, fm, True))
+                              + gamma_r * 0.5 * beta_rec * (recon(rec.detach(), rr, True)
+                                                            + recon(fake.detach(), rf, True)))
+        opt_d.zero_grad(); lossD.backward(); opt_d.step()
+
+    model.train()
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_volumes_per_sec"]
+    vps = measure_torch_cpu_baseline()
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_volumes_per_sec": vps,
+                   "config": "spatial_1200 two-phase step, batch 4, torch CPU"}, f)
+    return vps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    value = measure_tpu(args.batch, args.steps, args.warmup)
+    if args.skip_baseline:
+        baseline = None
+    else:
+        baseline = get_baseline()
+    print(json.dumps({
+        "metric": "soft-intro-vae-1200d train throughput",
+        "value": round(value, 3),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(value / baseline, 3) if baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,10 @@ class SpatialVAEConfig:
     variational: bool = True   # False => CAE (single 1x1 head, no mu/var)
     dtype: Any = jnp.float32   # compute dtype (bfloat16 on TPU hot path)
     param_dtype: Any = jnp.float32
+    # rematerialize each block in the backward pass: the two-phase step runs
+    # 12 forwards before its two backwards — without remat the flagship
+    # config needs ~18GB of live activations (> v5e 16GB HBM)
+    remat: bool = True
 
     @property
     def latent_spatial_shape(self) -> Tuple[int, int, int]:
@@ -102,6 +106,7 @@ class FCVAEConfig:
     )
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    remat: bool = True
 
     @property
     def bottleneck_spatial_shape(self) -> Tuple[int, int, int]:

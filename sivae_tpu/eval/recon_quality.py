@@ -1,0 +1,60 @@
+"""Reconstruction-quality report: batch RMSE/PSNR/SSIM + image panels.
+
+Port of the testshow.ipynb workflow (SURVEY §2.1 #22): reconstruct a set of
+volumes through the model in eval mode and summarize per-volume fidelity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from sivae_tpu.models.resnet_vae import reparameterize
+from sivae_tpu.ops.metrics import psnr, rmse, ssim
+
+
+def reconstruction_report(
+    model,
+    variables,
+    voxels: np.ndarray,
+    batch_size: int = 8,
+    val_eps: float = 0.1,
+    panel_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Returns {'rmse', 'psnr', 'ssim3d', 'ssim_center_slice'} means."""
+
+    @jax.jit
+    def rec_fn(x):
+        (mu, logvar), _ = model.encode(variables["enc"], x)
+        z = reparameterize(None, mu, logvar, val_eps=val_eps)
+        y, _ = model.decode(variables["dec"], z)
+        return y
+
+    n = voxels.shape[0]
+    rmses, psnrs, ssims3d, ssims2d = [], [], [], []
+    first_batch = None
+    for i in range(0, n - n % batch_size, batch_size):
+        x = voxels[i:i + batch_size]
+        y = np.asarray(rec_fn(x), np.float32)
+        if first_batch is None:
+            first_batch = (x, y)
+        for j in range(x.shape[0]):
+            a, b = x[j, ..., 0], y[j, ..., 0]
+            rmses.append(float(rmse(a, b)))
+            psnrs.append(float(psnr(a, b)))
+            ssims3d.append(float(ssim(a, b)))
+            mid = a.shape[0] // 2
+            ssims2d.append(float(ssim(a[mid], b[mid])))
+    if panel_path and first_batch is not None:
+        from sivae_tpu.utils.plots import save_recon_panel
+
+        save_recon_panel(first_batch[0], first_batch[1], panel_path)
+    return {
+        "rmse": float(np.mean(rmses)),
+        "psnr": float(np.mean(psnrs)),
+        "ssim3d": float(np.mean(ssims3d)),
+        "ssim_center_slice": float(np.mean(ssims2d)),
+        "n": len(rmses),
+    }

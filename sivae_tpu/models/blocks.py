@@ -168,6 +168,18 @@ class UpBlock(nn.Module):
         return act(h)
 
 
+def maybe_remat(block_cls, remat: bool):
+    """Wrap a block module class in nn.remat (activation rematerialization).
+
+    Block outputs stay live across the step's many forwards; block internals
+    are recomputed in the backward pass — jax.checkpoint at the natural
+    block boundary (`train` flag is static argument 2 of __call__).
+    """
+    if not remat:
+        return block_cls
+    return nn.remat(block_cls, static_argnums=(2,))
+
+
 class ConvBNAct(nn.Module):
     """conv3 -> BN -> act [-> dropout] — the stem / plain-stage unit."""
 

@@ -21,7 +21,15 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from sivae_tpu.config import FCVAEConfig
-from sivae_tpu.models.blocks import ConvBNAct, Conv3d, BatchNorm, avg_pool3d, make_act, upsample_nearest3d
+from sivae_tpu.models.blocks import (
+    BatchNorm,
+    Conv3d,
+    ConvBNAct,
+    avg_pool3d,
+    make_act,
+    maybe_remat,
+    upsample_nearest3d,
+)
 from sivae_tpu.models.resnet_vae import SoftIntroVAE
 
 Array = jnp.ndarray
@@ -38,9 +46,10 @@ class FCEncoder(nn.Module):
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         act = make_act(cfg.act)
         f, s, t, fo = cfg.first_ch, cfg.second_ch, cfg.third_ch, cfg.forth_ch
+        CBA = maybe_remat(ConvBNAct, cfg.remat)
 
         def cba(h, ch):
-            return ConvBNAct(ch, act=cfg.act, dropout=0.0, **kw)(h, train)
+            return CBA(ch, act=cfg.act, dropout=0.0, **kw)(h, train)
 
         # block1 + pool1
         h = cba(cba(x, f), f)
@@ -83,9 +92,10 @@ class FCDecoder(nn.Module):
         act = make_act(cfg.act)
         f, s, t, fo = cfg.first_ch, cfg.second_ch, cfg.third_ch, cfg.forth_ch
         d, h_, w = cfg.bottleneck_spatial_shape
+        CBA = maybe_remat(ConvBNAct, cfg.remat)
 
         def cba(x, ch):
-            return ConvBNAct(ch, act=cfg.act, dropout=0.0, **kw)(x, train)
+            return CBA(ch, act=cfg.act, dropout=0.0, **kw)(x, train)
 
         def conv_bn(x, ch):
             x = Conv3d(ch, use_bias=True, **kw)(x)

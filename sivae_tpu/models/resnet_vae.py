@@ -32,6 +32,7 @@ from sivae_tpu.models.blocks import (
     ConvBNAct,
     UpBlock,
     make_act,
+    maybe_remat,
 )
 
 Array = jnp.ndarray
@@ -51,11 +52,13 @@ class SpatialEncoder(nn.Module):
     def __call__(self, x: Array, train: bool = False):
         cfg = self.cfg
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
-        h = ConvBNAct(cfg.in_ch, act=cfg.act, dropout=cfg.act.stem_dropout, **kw)(x, train)
+        Stem = maybe_remat(ConvBNAct, cfg.remat)
+        Block = maybe_remat(ConvBlock, cfg.remat)
+        h = Stem(cfg.in_ch, act=cfg.act, dropout=cfg.act.stem_dropout, **kw)(x, train)
         for c, n, s in cfg.block_setting:
             for i in range(n):
                 stride = s if i == 0 else 1
-                h = ConvBlock(c, stride, act=cfg.act, **kw)(h, train)
+                h = Block(c, stride, act=cfg.act, **kw)(h, train)
         if cfg.variational:
             mu = Conv3d(1, kernel_size=(1, 1, 1), use_bias=True, name="mu", **kw)(h)
             logvar = Conv3d(1, kernel_size=(1, 1, 1), use_bias=True, name="logvar", **kw)(h)
@@ -77,8 +80,10 @@ class SpatialDecoder(nn.Module):
     def __call__(self, z: Array, train: bool = False) -> Array:
         cfg = self.cfg
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        Head = maybe_remat(ConvBNAct, cfg.remat)
+        Block = maybe_remat(UpBlock, cfg.remat)
         last = cfg.block_setting[-1][0]
-        h = ConvBNAct(
+        h = Head(
             last, act=cfg.act, dropout=cfg.act.dec_in_dropout,
             kernel_size=(1, 1, 1), **kw,
         )(z, train)
@@ -90,7 +95,7 @@ class SpatialDecoder(nn.Module):
             for j in range(n):
                 stride = s if j == n - 1 else 1
                 out_c = nc if j == n - 1 else c
-                h = UpBlock(out_c, stride, act=cfg.act, **kw)(h, train)
+                h = Block(out_c, stride, act=cfg.act, **kw)(h, train)
         h = Conv3d(1, use_bias=True, **kw)(h)
         h = make_act(cfg.act, which="tail")(h)
         if cfg.act.dec_out_dropout > 0.0:
