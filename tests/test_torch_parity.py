@@ -1,0 +1,127 @@
+"""Numerical parity: reference PyTorch model vs sivae_tpu with imported
+weights — the strongest correctness check we can run (SURVEY §7 step 7).
+
+Builds the reference `SoftIntroVAE` (imported from /root/reference, torch
+CPU), copies its randomly-initialized state_dict into our flax model via
+utils/torch_import, then compares eval-mode encoder and decoder outputs on
+the same inputs. Agreement must be near float32-exact since both stacks run
+the same ops.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")), reason="reference not mounted")
+
+import dataclasses  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sivae_tpu.config import SpatialVAEConfig  # noqa: E402
+from sivae_tpu.models.registry import make_model  # noqa: E402
+from sivae_tpu.utils.torch_import import import_spatial_soft_intro_vae  # noqa: E402
+
+
+def _ref_models():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import models.models as ref_models
+
+    return ref_models
+
+
+# small flagship-topology config so the CPU test stays fast
+CFG = SpatialVAEConfig(
+    in_ch=6,
+    block_setting=((6, 1, 2), (10, 1, 2), (12, 2, 2)),
+    input_shape=(16, 24, 16),
+)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    ref_models = _ref_models()
+    torch.manual_seed(0)
+    tmodel = ref_models.SoftIntroVAE(CFG.in_ch, [list(b) for b in CFG.block_setting])
+    tmodel.eval()
+    model = make_model(CFG)
+    x0 = jnp.zeros((1,) + CFG.input_shape + (1,), jnp.float32)
+    variables = model.init(jax.random.key(0), x0)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    imported = import_spatial_soft_intro_vae(sd, CFG, variables)
+    return tmodel, model, imported
+
+
+def test_encoder_parity(pair):
+    tmodel, model, variables = pair
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, *CFG.input_shape).astype(np.float32)
+    with torch.no_grad():
+        tmu, tlogvar = tmodel.encode(torch.tensor(x[:, None]))
+    (jmu, jlogvar), _ = model.encode(variables["enc"], jnp.asarray(x[..., None]))
+    # torch NCDHW (b,1,d,h,w) vs ours NDHWC (b,d,h,w,1)
+    np.testing.assert_allclose(
+        tmu.numpy()[:, 0], np.asarray(jmu)[..., 0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        tlogvar.numpy()[:, 0], np.asarray(jlogvar)[..., 0], rtol=1e-4, atol=1e-4)
+
+
+def test_decoder_parity(pair):
+    tmodel, model, variables = pair
+    rng = np.random.RandomState(2)
+    z = rng.randn(2, *CFG.latent_spatial_shape).astype(np.float32)
+    with torch.no_grad():
+        ty = tmodel.decode(torch.tensor(z[:, None]))
+    jy, _ = model.decode(variables["dec"], jnp.asarray(z[..., None]))
+    np.testing.assert_allclose(
+        ty.numpy()[:, 0], np.asarray(jy)[..., 0], rtol=1e-4, atol=1e-4)
+
+
+def test_roundtrip_recon_parity(pair):
+    tmodel, model, variables = pair
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, *CFG.input_shape).astype(np.float32)
+    with torch.no_grad():
+        tmu, tlogvar = tmodel.encode(torch.tensor(x[:, None]))
+        tz = tmodel.reparameterize(tmu, tlogvar, val_flag=True)  # eps=0.1
+        ty = tmodel.decode(tz)
+    from sivae_tpu.models.resnet_vae import reparameterize
+
+    (jmu, jlogvar), _ = model.encode(variables["enc"], jnp.asarray(x[..., None]))
+    jz = reparameterize(None, jmu, jlogvar, val_eps=0.1)
+    jy, _ = model.decode(variables["dec"], jz)
+    np.testing.assert_allclose(
+        ty.numpy()[:, 0], np.asarray(jy)[..., 0], rtol=1e-4, atol=1e-4)
+
+
+def test_projection_shortcut_config_parity():
+    """Config with stride-1 channel-changing block exercises the 1x1
+    projection import path (models.py:28-35)."""
+    cfg = SpatialVAEConfig(
+        in_ch=4,
+        block_setting=((6, 2, 1),),  # first block: 4->6 stride 1 => projection
+        input_shape=(8, 8, 8),
+    )
+    ref_models = _ref_models()
+    torch.manual_seed(1)
+    tmodel = ref_models.SoftIntroVAE(cfg.in_ch, [list(b) for b in cfg.block_setting])
+    tmodel.eval()
+    model = make_model(cfg)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1,) + cfg.input_shape + (1,), jnp.float32))
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    imported = import_spatial_soft_intro_vae(sd, cfg, variables)
+    x = np.random.RandomState(5).rand(1, *cfg.input_shape).astype(np.float32)
+    with torch.no_grad():
+        tmu, _ = tmodel.encode(torch.tensor(x[:, None]))
+    (jmu, _), _ = model.encode(imported["enc"], jnp.asarray(x[..., None]))
+    np.testing.assert_allclose(
+        tmu.numpy()[:, 0], np.asarray(jmu)[..., 0], rtol=1e-4, atol=1e-4)
