@@ -29,6 +29,9 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def measure_tpu(batch: int, steps: int, warmup: int) -> float:
+    from sivae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -55,13 +58,16 @@ def measure_tpu(batch: int, steps: int, warmup: int) -> float:
 
     for _ in range(warmup):
         state, metrics = step(state, x)
-    jax.block_until_ready(metrics["lossE"])
+    # force a host round-trip: under the remote-relay backend
+    # block_until_ready does not reliably block, so fetch a scalar value
+    float(jax.device_get(metrics["lossE"]))
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, x)
-    jax.block_until_ready(metrics["lossE"])
+    # the final metrics depend on the whole step chain through `state`
+    nan = bool(jax.device_get(metrics["nan"]))
     dt = time.perf_counter() - t0
-    assert not bool(metrics["nan"]), "NaN in benchmark training"
+    assert not nan, "NaN in benchmark training"
     return batch * steps / dt
 
 

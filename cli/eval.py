@@ -1,0 +1,118 @@
+"""Evaluation CLI — the logistic1.ipynb / testshow.ipynb workflows as a tool.
+
+Encodes train/val sets in batches on the accelerator, then reports:
+- CN-vs-AD L1-logistic ROC-AUC on latents (logistic1.ipynb cells 9-13)
+- cosine-kNN retrieval precision@k (the CBIR north-star)
+- reconstruction RMSE/PSNR/SSIM + image panels (testshow.ipynb)
+- optional PCA->t-SNE 2D scatter
+
+Checkpoints: orbax run dirs (ours) or reference .pth files (torch import).
+
+Usage:
+  python -m cli.eval --model spatial_1200 --ckpt runs/z1200/ckpt --synthetic 64
+  python -m cli.eval --model spatial_1200 --ckpt epoch819.pth --data-root /data/...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="spatial_1200")
+    ap.add_argument("--ckpt", default=None, help="orbax ckpt dir or torch .pth")
+    ap.add_argument("--data-root", default="/data/radiology_datas")
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default=None, help="write JSON report here")
+    ap.add_argument("--tsne", action="store_true")
+    ap.add_argument("--bf16", action="store_true", default=False)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sivae_tpu.data.pipeline import BrainDataSource, grouped_split
+    from sivae_tpu.data.preprocess import preprocess_batch
+    from sivae_tpu.eval.latent_probe import encode_dataset, logistic_auc
+    from sivae_tpu.eval.recon_quality import reconstruction_report
+    from sivae_tpu.eval.retrieval import retrieval_precision_at_k
+    from sivae_tpu.models.registry import get_model_config, make_model
+
+    cfg = get_model_config(args.model)
+    if args.bf16:
+        cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    model = make_model(cfg)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1,) + cfg.input_shape + (1,), jnp.float32))
+
+    if args.ckpt and args.ckpt.endswith(".pth"):
+        from sivae_tpu.utils.torch_import import import_torch_checkpoint
+
+        variables = import_torch_checkpoint(args.ckpt, cfg, variables)
+    elif args.ckpt:
+        from sivae_tpu.utils.checkpoint import CheckpointManager
+        from sivae_tpu.config import OptimConfig
+        from sivae_tpu.train.state import create_train_state
+
+        template = create_train_state(model, jax.random.key(0),
+                                      jnp.zeros((1,) + cfg.input_shape + (1,),
+                                                jnp.float32), OptimConfig(), 1)
+        state = CheckpointManager(args.ckpt).restore(template)
+        variables = {"enc": {"params": state.enc_params, "batch_stats": state.enc_stats},
+                     "dec": {"params": state.dec_params, "batch_stats": state.dec_stats}}
+
+    if args.synthetic:
+        from sivae_tpu.data.synthetic import SyntheticBrainSource
+
+        records = list(SyntheticBrainSource(args.synthetic, cfg.input_shape, seed=7))
+    else:
+        from sivae_tpu.data.catalog import load_data
+
+        records = load_data(kinds=["ADNI2", "ADNI2-2"],
+                            classes=["CN", "AD", "EMCI", "LMCI", "SMC", "MCI"],
+                            blacklist=True, root=args.data_root)
+    src = BrainDataSource(records)
+    tid, vid = grouped_split(src.labels, src.pids, 5, 4, 103)
+    vox = np.asarray(preprocess_batch(src.voxels))
+    labels = src.labels
+
+    z = encode_dataset(model, variables, vox, batch_size=args.batch)
+    report = {}
+    # CN-vs-AD probe restricted to binary labels, like logistic1 cells 9-13
+    binary = np.isin(labels, (0, 1))
+    tmask = np.zeros(len(labels), bool); tmask[tid] = True
+    tb, vb = binary & tmask, binary & ~tmask
+    if tb.sum() > 4 and vb.sum() > 4 and len(set(labels[vb])) == 2:
+        tr_auc, va_auc = logistic_auc(z[tb], labels[tb], z[vb], labels[vb])
+        report["train_auc"] = tr_auc
+        report["val_auc"] = va_auc
+    report["retrieval_p_at_k"] = retrieval_precision_at_k(
+        z[vid], labels[vid], z[tid], labels[tid], k=args.k)
+    report.update(reconstruction_report(
+        model, variables, vox[vid][: max(args.batch, 8)], batch_size=min(8, args.batch),
+        panel_path=(os.path.join(args.out + "_panels", "recon.jpg") if args.out else None)))
+    if args.tsne:
+        from sivae_tpu.eval.latent_probe import latent_2d_embedding
+
+        emb = latent_2d_embedding(z[binary])
+        report["tsne_points"] = int(emb.shape[0])
+
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,15 @@ class SpatialVAEConfig:
     # 12 forwards before its two backwards — without remat the flagship
     # config needs ~18GB of live activations (> v5e 16GB HBM)
     remat: bool = True
+    # Early-training stability (deviations from the reference, both of which
+    # only matter in the first steps; disable for strict init parity):
+    # - zero-init the logvar head so e^logvar starts at 1 — the He-initialized
+    #   BN-conv body is chaotic enough at flagship width that one bounded
+    #   Adam step otherwise swings logvar by ~±15 (KL ~1e17, NaN in the
+    #   reference this manifests as its SystemError NaN guard tripping)
+    # - hard-clip logvar as a NaN rail; never active in healthy training
+    logvar_head_zero_init: bool = True
+    logvar_clip: Optional[Tuple[float, float]] = (-30.0, 20.0)
 
     @property
     def latent_spatial_shape(self) -> Tuple[int, int, int]:
@@ -107,6 +116,8 @@ class FCVAEConfig:
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     remat: bool = True
+    logvar_head_zero_init: bool = True
+    logvar_clip: Optional[Tuple[float, float]] = (-30.0, 20.0)
 
     @property
     def bottleneck_spatial_shape(self) -> Tuple[int, int, int]:

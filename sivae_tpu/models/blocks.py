@@ -66,6 +66,7 @@ class Conv3d(nn.Module):
     use_bias: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -75,7 +76,7 @@ class Conv3d(nn.Module):
             strides=(1, 1, 1),
             padding="SAME",
             use_bias=self.use_bias,
-            kernel_init=he_normal,
+            kernel_init=nn.initializers.zeros if self.zero_init else he_normal,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)

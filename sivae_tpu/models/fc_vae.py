@@ -73,10 +73,19 @@ class FCEncoder(nn.Module):
         g = Conv3d(fo, use_bias=True, **kw)(g)
         g = BatchNorm(**kw)(g, train)
         h = act(h + g)
-        # fc head -> (mu, logvar)
+        # fc head -> (mu, logvar). The reference uses one Linear chunked in
+        # two (mymodel.py:125,142); two Denses are equivalent and let the
+        # logvar half zero-init for early-training stability.
         h = h.reshape((h.shape[0], -1))
-        h = nn.Dense(2 * cfg.z_ch, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h)
-        mu, logvar = jnp.split(h, 2, axis=1)
+        mu = nn.Dense(cfg.z_ch, name="mu",
+                      dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h)
+        logvar = nn.Dense(
+            cfg.z_ch, name="logvar",
+            kernel_init=(nn.initializers.zeros if cfg.logvar_head_zero_init
+                         else nn.linear.default_kernel_init),
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h)
+        if cfg.logvar_clip is not None:
+            logvar = jnp.clip(logvar, cfg.logvar_clip[0], cfg.logvar_clip[1])
         return mu, logvar
 
 

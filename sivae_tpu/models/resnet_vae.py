@@ -61,7 +61,10 @@ class SpatialEncoder(nn.Module):
                 h = Block(c, stride, act=cfg.act, **kw)(h, train)
         if cfg.variational:
             mu = Conv3d(1, kernel_size=(1, 1, 1), use_bias=True, name="mu", **kw)(h)
-            logvar = Conv3d(1, kernel_size=(1, 1, 1), use_bias=True, name="logvar", **kw)(h)
+            logvar = Conv3d(1, kernel_size=(1, 1, 1), use_bias=True, name="logvar",
+                            zero_init=cfg.logvar_head_zero_init, **kw)(h)
+            if cfg.logvar_clip is not None:
+                logvar = jnp.clip(logvar, cfg.logvar_clip[0], cfg.logvar_clip[1])
             return mu, logvar
         return Conv3d(1, kernel_size=(1, 1, 1), use_bias=True, name="head", **kw)(h)
 

@@ -32,6 +32,7 @@ from sivae_tpu.config import (
 )
 from sivae_tpu.train.state import SIVAETrainState, create_train_state
 from sivae_tpu.train.step import (
+    make_cae_train_step,
     make_soft_intro_eval_step,
     make_soft_intro_train_step,
     make_vae_eval_step,
@@ -186,6 +187,88 @@ class SoftIntroTrainer:
                                              time.time() - t0), flush=True)
         plot_soft_intro_losses(self.logger.history, self.run_dir)
         plot_kl_stats(self.logger.history, self.run_dir)
+        self.ckpt.close()
+        return self.logger.history
+
+
+class CAETrainer:
+    """Convolutional autoencoder trainer (reference train_ResNetCAE,
+    my_trainer.py:763-823: joint Adam, elementwise-mean MSE)."""
+
+    def __init__(self, model_cfg, optim_cfg: OptimConfig = OptimConfig(),
+                 train_cfg: TrainConfig = TrainConfig(), run_dir: str = "./runs/cae",
+                 steps_per_epoch: int = 1, mesh=None):
+        import dataclasses as _dc
+
+        from sivae_tpu.models.resnet_vae import SpatialDecoder, SpatialEncoder
+        from sivae_tpu.train.state import make_optimizer
+
+        model_cfg = _dc.replace(model_cfg, variational=False)
+        self.encoder = SpatialEncoder(model_cfg)
+        self.decoder = SpatialDecoder(model_cfg)
+        self.train_cfg = train_cfg
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.logger = MetricsLogger(run_dir, csv_columns=["epoch", "train_loss", "val_loss"])
+        self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"), max_to_keep=3)
+        key = jax.random.key(train_cfg.seed)
+        x = jnp.zeros((1,) + tuple(model_cfg.input_shape) + (1,), jnp.float32)
+        ev = self.encoder.init({"params": key, "dropout": key}, x)
+        z = self.encoder.apply(ev, x, train=False)
+        dv = self.decoder.init({"params": jax.random.fold_in(key, 1), "dropout": key}, z)
+        opt = make_optimizer(optim_cfg, steps_per_epoch)
+        params = (ev["params"], dv["params"])
+        self.state = SIVAETrainState(
+            enc_params=ev["params"], dec_params=dv["params"],
+            enc_stats=ev.get("batch_stats", {}), dec_stats=dv.get("batch_stats", {}),
+            opt_e=opt.init(params), opt_d=(),
+            rng=jax.random.fold_in(key, 2), step=jnp.zeros((), jnp.int32))
+        if mesh is not None:
+            from sivae_tpu.parallel.mesh import replicate_state
+
+            self.state = replicate_state(self.state, mesh)
+        self._step = jax.jit(
+            make_cae_train_step(self.encoder, self.decoder, optim_cfg, steps_per_epoch),
+            donate_argnums=(0,))
+
+    def _eval_loss(self, vox):
+        @jax.jit
+        def f(state, x):
+            ev = {"params": state.enc_params, "batch_stats": state.enc_stats}
+            dv = {"params": state.dec_params, "batch_stats": state.dec_stats}
+            z = self.encoder.apply(ev, x, train=False)
+            out = self.decoder.apply(dv, z, train=False)
+            return jnp.mean((out.astype(jnp.float32) - x.astype(jnp.float32)) ** 2)
+
+        return f(self.state, vox)
+
+    def fit(self, train_pipeline, val_pipeline=None, epochs: int = 1,
+            verbose: bool = True):
+        for epoch in range(epochs):
+            t0 = time.time()
+            sums, steps = None, 0
+            for vox, _ in train_pipeline.epoch(epoch):
+                self.state, m = self._step(self.state, vox)
+                sums = m if sums is None else _tree_add(sums, m)
+                steps += 1
+            train_m = {k: float(v) / steps for k, v in jax.device_get(sums).items()}
+            if train_m.pop("nan", 0.0) > 0:
+                raise FloatingPointError(f"NaN during epoch {epoch}")
+            val_loss = float("nan")
+            if val_pipeline is not None:
+                vs = [float(self._eval_loss(vox)) for vox, _ in val_pipeline.epoch(0)]
+                val_loss = float(np.mean(vs)) if vs else float("nan")
+            self.logger.append(train_loss=train_m["loss"], val_loss=val_loss)
+            self.logger.write_epoch(epoch, {"train_loss": train_m["loss"],
+                                            "val_loss": val_loss})
+            if epoch % 10 == 0:
+                self.ckpt.save(epoch, self.state)
+            if verbose:
+                print(f"Epoch[{epoch + 1}/{epochs}] train_loss:{train_m['loss']:.5f} "
+                      f"val_loss:{val_loss:.5f} epoch:{time.time() - t0:.1f}s", flush=True)
+        from sivae_tpu.utils.plots import plot_ae_losses
+
+        plot_ae_losses(self.logger.history, self.run_dir)
         self.ckpt.close()
         return self.logger.history
 
