@@ -97,8 +97,9 @@ def measure_torch_cpu_baseline(batch: int = 4, steps: int = 1) -> float:
         return m.mean() if mean else m
 
     def kl(logvar, mu, mean):
-        k = -0.5 * torch.sum(1 + logvar - mu.view(mu.size(0), -1) ** 2
-                             - logvar.view(mu.size(0), -1).exp(), dim=1)
+        mu = mu.view(mu.size(0), -1)
+        logvar = logvar.view(logvar.size(0), -1)
+        k = -0.5 * torch.sum(1 + logvar - mu**2 - logvar.exp(), dim=1)
         return k.mean() if mean else k
 
     x = torch.rand(batch, 1, 80, 96, 80)

@@ -33,6 +33,8 @@ from sivae_tpu.config import (
 from sivae_tpu.train.state import SIVAETrainState, create_train_state
 from sivae_tpu.train.step import (
     make_cae_train_step,
+    make_classifier_eval_step,
+    make_classifier_train_step,
     make_soft_intro_eval_step,
     make_soft_intro_train_step,
     make_vae_eval_step,
@@ -271,6 +273,81 @@ class CAETrainer:
         plot_ae_losses(self.logger.history, self.run_dir)
         self.ckpt.close()
         return self.logger.history
+
+
+class ClassifierTrainer:
+    """CNN classifier trainer (reference `train`, my_trainer.py:829-910):
+    Adam + CrossEntropy, per-epoch accuracy, confusion-matrix eval."""
+
+    def __init__(self, model, model_cfg, optim_cfg: OptimConfig = OptimConfig(),
+                 train_cfg: TrainConfig = TrainConfig(), run_dir: str = "./runs/clf",
+                 steps_per_epoch: int = 1, mesh=None):
+        self.model = model
+        self.train_cfg = train_cfg
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.logger = MetricsLogger(
+            run_dir, csv_columns=["epoch", "train_loss", "train_acc", "val_loss", "val_acc"])
+        key = jax.random.key(train_cfg.seed)
+        x = jnp.zeros((1,) + tuple(model_cfg.input_shape) + (1,), jnp.float32)
+        variables = model.init({"params": key, "dropout": key}, x, train=False)
+        from sivae_tpu.train.state import make_optimizer
+
+        opt = make_optimizer(optim_cfg, steps_per_epoch)
+        self.state = SIVAETrainState(
+            enc_params=variables["params"], dec_params={},
+            enc_stats=variables.get("batch_stats", {}), dec_stats={},
+            opt_e=opt.init(variables["params"]), opt_d=(),
+            rng=jax.random.fold_in(key, 1), step=jnp.zeros((), jnp.int32))
+        if mesh is not None:
+            from sivae_tpu.parallel.mesh import replicate_state
+
+            self.state = replicate_state(self.state, mesh)
+        self._step = jax.jit(
+            make_classifier_train_step(model, optim_cfg, steps_per_epoch),
+            donate_argnums=(0,))
+        self._eval = jax.jit(make_classifier_eval_step(model))
+
+    def fit(self, train_pipeline, val_pipeline=None, epochs: int = 1,
+            verbose: bool = True):
+        for epoch in range(epochs):
+            t0 = time.time()
+            sums, steps = None, 0
+            for vox, lab in train_pipeline.epoch(epoch):
+                self.state, m = self._step(self.state, vox, lab)
+                sums = m if sums is None else _tree_add(sums, m)
+                steps += 1
+            tm = {k: float(v) / steps for k, v in jax.device_get(sums).items()}
+            if tm.pop("nan", 0.0) > 0:
+                raise FloatingPointError(f"NaN during epoch {epoch}")
+            vm = {}
+            if val_pipeline is not None:
+                vsums, vsteps = None, 0
+                for vox, lab in val_pipeline.epoch(0):
+                    m, _ = self._eval(self.state, vox, lab)
+                    vsums = m if vsums is None else _tree_add(vsums, m)
+                    vsteps += 1
+                vm = {k: float(v) / vsteps for k, v in jax.device_get(vsums).items()}
+            self.logger.append(train_loss=tm["loss"], train_acc=tm["acc"],
+                               val_loss=vm.get("loss", float("nan")),
+                               val_acc=vm.get("acc", float("nan")))
+            self.logger.write_epoch(epoch, {
+                "train_loss": tm["loss"], "train_acc": tm["acc"],
+                "val_loss": vm.get("loss", float("nan")),
+                "val_acc": vm.get("acc", float("nan"))})
+            if verbose:
+                print(f"Epoch[{epoch + 1}/{epochs}] loss:{tm['loss']:.3f} "
+                      f"acc:{tm['acc'] * 100:.1f}% val_acc:"
+                      f"{vm.get('acc', float('nan')) * 100:.1f}% "
+                      f"epoch:{time.time() - t0:.1f}s", flush=True)
+        return self.logger.history
+
+    def confusion_matrix(self, pipeline, class_map, path: str):
+        from sivae_tpu.eval.confusion import make_confusion_matrix, predict_all
+
+        preds, labels, acc = predict_all(self._eval, self.state, pipeline)
+        cm = make_confusion_matrix(preds, labels, class_map, path)
+        return cm, acc
 
 
 class VAETrainer:

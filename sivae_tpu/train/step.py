@@ -332,6 +332,46 @@ def make_vae_eval_step(model, mse_w: float = 1.0, kl_w: float = 10.0):
     return eval_step
 
 
+def make_classifier_train_step(model, optim_cfg: OptimConfig, steps_per_epoch: int):
+    """CrossEntropy classifier step (reference `train`, my_trainer.py:829-910)."""
+
+    opt = make_optimizer(optim_cfg, steps_per_epoch)
+
+    def train_step(state: SIVAETrainState, x: Array, labels: Array):
+        rng, k_d = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.enc_stats}
+            logits, mut = model.apply(variables, x, train=True,
+                                      rngs={"dropout": k_d}, mutable=["batch_stats"])
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            return loss, (acc, mut["batch_stats"])
+
+        (loss, (acc, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.enc_params)
+        upd, opt_state = opt.update(grads, state.opt_e, state.enc_params)
+        params = optax.apply_updates(state.enc_params, upd)
+        new_state = state.replace(enc_params=params, enc_stats=stats,
+                                  opt_e=opt_state, rng=rng, step=state.step + 1)
+        return new_state, {"loss": loss, "acc": acc, "nan": jnp.isnan(loss)}
+
+    return train_step
+
+
+def make_classifier_eval_step(model):
+    def eval_step(state: SIVAETrainState, x: Array, labels: Array):
+        variables = {"params": state.enc_params, "batch_stats": state.enc_stats}
+        logits = model.apply(variables, x, train=False)
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        pred = jnp.argmax(logits, -1)
+        acc = jnp.mean((pred == labels).astype(jnp.float32))
+        return {"loss": loss, "acc": acc}, pred
+
+    return eval_step
+
+
 def make_cae_train_step(encoder, decoder, optim_cfg: OptimConfig, steps_per_epoch: int):
     """CAE: elementwise-mean MSE (torch nn.MSELoss default, my_trainer.py:777)."""
 
