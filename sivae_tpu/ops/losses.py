@@ -58,6 +58,31 @@ def calc_kl(logvar: Array, mu: Array, reduce: str = "none") -> Array:
     return kl
 
 
+def calc_kl_general(
+    logvar: Array, mu: Array,
+    mu_o: Array | float = 0.0, logvar_o: Array | float = 0.0,
+    reduce: str = "none",
+) -> Array:
+    """KL(N(mu, e^logvar) || N(mu_o, e^logvar_o)) — the generalized form from
+    the DataParallel trainer (reference main_DataParallel.py:87-98)."""
+    mu = _flatten_per_sample(mu)
+    logvar = _flatten_per_sample(logvar)
+    mu_o = jnp.asarray(mu_o, jnp.float32)
+    logvar_o = jnp.asarray(logvar_o, jnp.float32)
+    if mu_o.ndim > 1:
+        mu_o = jnp.reshape(mu_o, (mu_o.shape[0], -1))
+    if logvar_o.ndim > 1:
+        logvar_o = jnp.reshape(logvar_o, (logvar_o.shape[0], -1))
+    kl = -0.5 * jnp.sum(
+        1.0 + logvar - logvar_o - (mu - mu_o) ** 2 * jnp.exp(-logvar_o)
+        - jnp.exp(logvar - logvar_o), axis=1)
+    if reduce == "mean":
+        return jnp.mean(kl)
+    if reduce == "sum":
+        return jnp.sum(kl)
+    return kl
+
+
 # --- plain-VAE losses (reference models/lossf.py) --------------------------
 
 

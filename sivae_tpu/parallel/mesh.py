@@ -43,20 +43,36 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def volume_sharding(mesh: Mesh, data_axis: str = "data",
+                    spatial_axis: str = "spatial") -> NamedSharding:
+    """Sharding for NDHWC volumes: batch over `data_axis`, depth over
+    `spatial_axis`. XLA GSPMD inserts the halo exchanges the 3x3x3 convs
+    need at shard boundaries — the TPU-native equivalent of context/sequence
+    parallelism for this workload (SURVEY §5 'long-context' row): it is how
+    "fullsize" (~5M voxel) volumes exceed a single chip's activation memory.
+    """
+    return NamedSharding(mesh, P(data_axis, spatial_axis))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Place a host batch (numpy or jax array/pytree) sharded over `axis`.
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data",
+                spatial_axis: Optional[str] = None) -> Any:
+    """Place a host batch (numpy or jax array/pytree) sharded over `axis`
+    (and, for >=4-d arrays when `spatial_axis` is given, depth over it).
 
     In multi-process mode each process passes its local shard and the global
     array is assembled across hosts.
     """
-    sharding = data_sharding(mesh, axis)
 
     def put(x):
         x = np.asarray(x)
+        if spatial_axis is not None and x.ndim >= 4:
+            sharding = volume_sharding(mesh, axis, spatial_axis)
+        else:
+            sharding = data_sharding(mesh, axis)
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)
