@@ -1,0 +1,60 @@
+"""Tests: profiling helpers, checkify NaN localization, metrics logger."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sivae_tpu.utils.profiling import StepTimer, compiled_cost
+from sivae_tpu.utils.debugging import checkify_step
+from sivae_tpu.utils.logging import MetricsLogger
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(3):
+        with t:
+            sum(range(1000))
+    s = t.summary()
+    assert s["n"] == 3 and s["mean_s"] >= 0
+
+
+def test_compiled_cost_reports_flops():
+    def f(a, b):
+        return a @ b
+
+    a = jnp.ones((128, 128))
+    cost = compiled_cost(f, a, a)
+    assert cost["flops"] > 1e6  # 2*128^3 ~ 4.2e6
+
+
+def test_checkify_locates_nan():
+    def bad_step(state, batch):
+        return state, {"loss": jnp.log(batch).sum()}  # log(-1) -> nan
+
+    wrapped = checkify_step(bad_step)
+    err, (state, metrics) = wrapped(jnp.zeros(()), jnp.array([-1.0]))
+    with pytest.raises(Exception):
+        err.throw()
+    # clean input -> no error
+    err2, _ = wrapped(jnp.zeros(()), jnp.array([1.0]))
+    err2.throw()
+
+
+def test_metrics_logger_files(tmp_path):
+    lg = MetricsLogger(str(tmp_path))
+    lg.append(train_lossE=1.0, val_lossE=2.0, train_lossD=3.0, val_lossD=4.0,
+              kls_real=0.1, kls_fake=0.2, kls_rec=0.3, rec_errs=0.4)
+    lg.write_epoch(0, {"train_lossE": 1.0, "train_lossD": 3.0,
+                       "val_lossE": 2.0, "val_lossD": 4.0})
+    lg.write_loss_txt()
+    lg.write_kl_txt()
+    assert (tmp_path / "train_result.csv").exists()
+    loss_txt = (tmp_path / "loss.txt").read_text()
+    assert "trainE=1.0" in loss_txt and "valD===4.0" in loss_txt
+    kl_txt = (tmp_path / "kl_losses.txt").read_text()
+    assert "kls_real==0.1" in kl_txt and "rec_errs==0.4" in kl_txt
+    jsonl = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(jsonl) == 1
