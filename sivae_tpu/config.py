@@ -76,6 +76,11 @@ class SpatialVAEConfig:
     # - hard-clip logvar as a NaN rail; never active in healthy training
     logvar_head_zero_init: bool = True
     logvar_clip: Optional[Tuple[float, float]] = (-30.0, 20.0)
+    # route 3x3x3 stride-1 convs through the Pallas implicit-GEMM kernel
+    use_pallas_conv: bool = False
+    # exact algebraic fusion of nearest-upsample(2)+conv in decoder UpBlocks
+    # (27 -> 8 taps per output voxel; no 8x intermediate tensor)
+    fuse_upconv: bool = True
 
     @property
     def latent_spatial_shape(self) -> Tuple[int, int, int]:
@@ -118,6 +123,7 @@ class FCVAEConfig:
     remat: bool = True
     logvar_head_zero_init: bool = True
     logvar_clip: Optional[Tuple[float, float]] = (-30.0, 20.0)
+    use_pallas_conv: bool = False
 
     @property
     def bottleneck_spatial_shape(self) -> Tuple[int, int, int]:

@@ -3,23 +3,22 @@
 Why: the framework's FLOPs live in 3^3 convs at 64 output channels
 (e.g. (8, 80, 96, 80, 64) -> 64). XLA's conv achieves ~50 TF/s on that
 shape on v5e because each implicit matmul has K = N = 64 (quarter MXU
-utilization). This kernel restructures the conv as ONE implicit-GEMM per
-(batch, depth) program: build the (H*W, 9*C_in) patch matrix per depth tap
-in VMEM and hit the MXU with K = 9*C_in (576 for C=64) — the K dimension is
-fully fed and the ceiling roughly doubles.
+utilization). This kernel restructures the conv as implicit GEMM with
+K = 3*C_in per (kh) row — the MXU contraction dimension is fully fed.
 
-Structure:
-- grid (B, D); each program emits one (H, W, C_out) output plane;
-- the three needed depth planes arrive as three views of the same input
-  with clamped index maps; out-of-range depth taps are zeroed in-kernel;
-- per depth tap, a zero-padded (H+2, W+2, C) plane lives in VMEM scratch;
-  9 shifted (H, W, C) slices concatenate into the patch matrix;
-- fp32 accumulation via preferred_element_type, cast on write.
+Structure (VMEM-frugal: one input plane in flight):
+- grid (B, D, 3), depth-tap k fastest; the single input view's index map is
+  clamp(d + k - 1) so each program sees exactly the plane it needs;
+- an f32 accumulator scratch (H, W, Co) persists across the 3 k-steps
+  (TPU grid execution is sequential); the output block's index map is
+  constant in k so it is written back once after the last tap;
+- per tap, a zero-padded (H+2, W+2, C) plane in scratch provides the 9
+  shifted views; H is tiled so each (Ht*W, 3C) patch matrix stays ~1MB;
+- out-of-range depth taps (d=0 k=0, d=D-1 k=2) are skipped via pl.when.
 
-Backward: dgrad (3x3x3 SAME conv of the cotangent with spatially-flipped,
-IO-transposed weights) reuses this same kernel; wgrad is a huge-K
-contraction XLA already does well, expressed via lax.conv_general_dilated
-with the batch dim playing the feature role.
+Backward: dgrad (conv of the cotangent with spatially-flipped,
+IO-transposed weights) reuses this kernel; wgrad is a huge-K contraction
+XLA already does well.
 """
 
 from __future__ import annotations
@@ -35,80 +34,87 @@ Array = jnp.ndarray
 
 
 def _pick_h_tile(h: int, wd: int, c: int, bytes_budget: int = 1 << 20) -> int:
-    """Largest divisor H tile keeping the per-kh patch matrix (Ht*W, 3C)
-    under ~1MB VMEM."""
-    ht = max(8, bytes_budget // max(1, wd * 3 * c * 2))
+    """Largest divisor H tile keeping the (Ht*W, 3C) patch matrix ~<=1MB."""
+    ht = max(1, bytes_budget // max(1, wd * 3 * c * 2))
     ht = min(ht, h)
     while h % ht:
         ht -= 1
     return max(ht, 1)
 
 
-def _conv_plane_kernel(xp_ref, xc_ref, xn_ref, w_ref, out_ref, pad_ref):
-    """One (b, d) program: out[H, W, Co] = sum_kd conv2d(plane_kd, w[kd]).
-
-    The padded plane per depth tap sits in VMEM scratch; the implicit-GEMM
-    runs over H tiles so the (Ht*W, 9*C) patch matrix stays VMEM-resident.
-    """
+def _conv_tap_kernel(x_ref, w_ref, out_ref, pad_ref, acc_ref):
     d = pl.program_id(1)
     n_d = pl.num_programs(1)
-    h, wd, c = xc_ref.shape[2], xc_ref.shape[3], xc_ref.shape[4]
+    k = pl.program_id(2)
+    h, wd, c = x_ref.shape[2], x_ref.shape[3], x_ref.shape[4]
     co = out_ref.shape[4]
     ht = _pick_h_tile(h, wd, c)
 
-    for ti in range(h // ht):
-        h0 = ti * ht
-        acc = jnp.zeros((ht * wd, co), jnp.float32)
-        for ref, kd in ((xp_ref, 0), (xc_ref, 1), (xn_ref, 2)):
-            if ti == 0:  # fill the padded plane once per depth tap
-                plane = ref[0, 0]
-                if kd == 0:
-                    plane = jnp.where(d > 0, plane, jnp.zeros_like(plane))
-                elif kd == 2:
-                    plane = jnp.where(d < n_d - 1, plane, jnp.zeros_like(plane))
-                pad_ref[kd, :, :, :] = jnp.zeros_like(pad_ref[kd])
-                pad_ref[kd, 1:h + 1, 1:wd + 1, :] = plane
-            # one K=3C matmul per kh row keeps the patch buffer ~1MB
-            for kh in range(3):
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    valid = jnp.logical_not(
+        jnp.logical_or(jnp.logical_and(k == 0, d == 0),
+                       jnp.logical_and(k == 2, d == n_d - 1)))
+
+    @pl.when(valid)
+    def _():
+        pad_ref[:] = jnp.zeros_like(pad_ref)
+        pad_ref[1:h + 1, 1:wd + 1, :] = x_ref[0, 0]
+
+        def tile_body(ti, carry):
+            h0 = pl.multiple_of(ti * ht, ht)
+            acc = acc_ref[pl.ds(h0, ht), :, :].reshape(ht * wd, co)
+            for kh in range(3):  # static 3-tap unroll, buffers reused per tile
                 cols = [
-                    pad_ref[kd, h0 + kh:h0 + kh + ht, kw:kw + wd, :].reshape(ht * wd, c)
+                    pad_ref[pl.ds(h0 + kh, ht), kw:kw + wd, :].reshape(ht * wd, c)
                     for kw in range(3)
                 ]
                 patches = jnp.concatenate(cols, axis=1)
-                wk = w_ref[kd, kh].reshape(3 * c, co)
+                wk = w_ref[0, kh].reshape(3 * c, co)
                 acc = acc + jnp.dot(patches, wk, preferred_element_type=jnp.float32)
-        out_ref[0, 0, h0:h0 + ht, :, :] = acc.reshape(ht, wd, co).astype(out_ref.dtype)
+            acc_ref[pl.ds(h0, ht), :, :] = acc.reshape(ht, wd, co)
+            return carry
+
+        jax.lax.fori_loop(0, h // ht, tile_body, 0)
+
+    @pl.when(k == 2)
+    def _():
+        out_ref[0, 0] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _conv3d_impl(x: Array, w: Array, *, interpret: bool = False) -> Array:
     b, d, h, wd, c = x.shape
     co = w.shape[-1]
-
-    def make_spec(depth_index):
-        return pl.BlockSpec(
-            (1, 1, h, wd, c),
-            lambda bi, di: (bi, depth_index(di), 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    specs = [
-        make_spec(lambda di: jnp.maximum(di - 1, 0)),
-        make_spec(lambda di: di),
-        make_spec(lambda di: jnp.minimum(di + 1, d - 1)),
-        pl.BlockSpec(w.shape, lambda bi, di: (0, 0, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
     return pl.pallas_call(
-        _conv_plane_kernel,
-        grid=(b, d),
-        in_specs=specs,
-        out_specs=pl.BlockSpec((1, 1, h, wd, co),
-                               lambda bi, di: (bi, di, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        _conv_tap_kernel,
+        grid=(b, d, 3),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, h, wd, c),
+                lambda bi, di, ki: (
+                    bi, jnp.clip(di + ki - 1, 0, d - 1), 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, 3, c, co),
+                lambda bi, di, ki: (ki, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h, wd, co),
+            lambda bi, di, ki: (bi, di, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=jax.ShapeDtypeStruct((b, d, h, wd, co), x.dtype),
-        scratch_shapes=[pltpu.VMEM((3, h + 2, wd + 2, c), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, wd + 2, c), x.dtype),
+            pltpu.VMEM((h, wd, co), jnp.float32),
+        ],
         interpret=interpret,
-    )(x, x, x, w)
+    )(x, w)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -49,7 +49,8 @@ class FCEncoder(nn.Module):
         CBA = maybe_remat(ConvBNAct, cfg.remat)
 
         def cba(h, ch):
-            return CBA(ch, act=cfg.act, dropout=0.0, **kw)(h, train)
+            return CBA(ch, act=cfg.act, dropout=0.0,
+                       use_pallas=cfg.use_pallas_conv, **kw)(h, train)
 
         # block1 + pool1
         h = cba(cba(x, f), f)
@@ -104,7 +105,8 @@ class FCDecoder(nn.Module):
         CBA = maybe_remat(ConvBNAct, cfg.remat)
 
         def cba(x, ch):
-            return CBA(ch, act=cfg.act, dropout=0.0, **kw)(x, train)
+            return CBA(ch, act=cfg.act, dropout=0.0,
+                       use_pallas=cfg.use_pallas_conv, **kw)(x, train)
 
         def conv_bn(x, ch):
             x = Conv3d(ch, use_bias=True, **kw)(x)

@@ -52,13 +52,14 @@ class SpatialEncoder(nn.Module):
     def __call__(self, x: Array, train: bool = False):
         cfg = self.cfg
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        bkw = dict(use_pallas=cfg.use_pallas_conv, **kw)
         Stem = maybe_remat(ConvBNAct, cfg.remat)
         Block = maybe_remat(ConvBlock, cfg.remat)
-        h = Stem(cfg.in_ch, act=cfg.act, dropout=cfg.act.stem_dropout, **kw)(x, train)
+        h = Stem(cfg.in_ch, act=cfg.act, dropout=cfg.act.stem_dropout, **bkw)(x, train)
         for c, n, s in cfg.block_setting:
             for i in range(n):
                 stride = s if i == 0 else 1
-                h = Block(c, stride, act=cfg.act, **kw)(h, train)
+                h = Block(c, stride, act=cfg.act, **bkw)(h, train)
         if cfg.variational:
             mu = Conv3d(1, kernel_size=(1, 1, 1), use_bias=True, name="mu", **kw)(h)
             logvar = Conv3d(1, kernel_size=(1, 1, 1), use_bias=True, name="logvar",
@@ -83,12 +84,13 @@ class SpatialDecoder(nn.Module):
     def __call__(self, z: Array, train: bool = False) -> Array:
         cfg = self.cfg
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        bkw = dict(use_pallas=cfg.use_pallas_conv, **kw)
         Head = maybe_remat(ConvBNAct, cfg.remat)
         Block = maybe_remat(UpBlock, cfg.remat)
         last = cfg.block_setting[-1][0]
         h = Head(
             last, act=cfg.act, dropout=cfg.act.dec_in_dropout,
-            kernel_size=(1, 1, 1), **kw,
+            kernel_size=(1, 1, 1), **bkw,
         )(z, train)
         rev = cfg.block_setting[::-1]
         n_lines = len(rev)
@@ -98,8 +100,9 @@ class SpatialDecoder(nn.Module):
             for j in range(n):
                 stride = s if j == n - 1 else 1
                 out_c = nc if j == n - 1 else c
-                h = Block(out_c, stride, act=cfg.act, **kw)(h, train)
-        h = Conv3d(1, use_bias=True, **kw)(h)
+                h = Block(out_c, stride, act=cfg.act,
+                          fuse_upconv=cfg.fuse_upconv, **bkw)(h, train)
+        h = Conv3d(1, use_bias=True, use_pallas=cfg.use_pallas_conv, **kw)(h)
         h = make_act(cfg.act, which="tail")(h)
         if cfg.act.dec_out_dropout > 0.0:
             h = nn.Dropout(rate=cfg.act.dec_out_dropout, deterministic=not train)(h)
