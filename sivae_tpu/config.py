@@ -124,6 +124,7 @@ class FCVAEConfig:
     logvar_head_zero_init: bool = True
     logvar_clip: Optional[Tuple[float, float]] = (-30.0, 20.0)
     use_pallas_conv: bool = False
+    fuse_upconv: bool = True
 
     @property
     def bottleneck_spatial_shape(self) -> Tuple[int, int, int]:

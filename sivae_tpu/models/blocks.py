@@ -271,12 +271,26 @@ class ConvBNAct(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    upsample2_fused: bool = False  # prepend nearest-up(2), fused into the conv
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h = Conv3d(self.out_ch, kernel_size=self.kernel_size, use_bias=self.use_bias,
-                   use_pallas=self.use_pallas, **kw)(x)
+        if self.upsample2_fused:
+            outer = self
+
+            class _Named(nn.Module):
+                @nn.compact
+                def __call__(self, h_in):
+                    return _FusedUpConvCore(
+                        features=outer.out_ch, use_bias=outer.use_bias,
+                        kernel_init=he_normal, dtype=outer.dtype,
+                        param_dtype=outer.param_dtype, name="Conv_0")(h_in)
+
+            h = _Named(name="Conv3d_0")(x)
+        else:
+            h = Conv3d(self.out_ch, kernel_size=self.kernel_size,
+                       use_bias=self.use_bias, use_pallas=self.use_pallas, **kw)(x)
         h = BatchNorm(**kw)(h, train)
         h = make_act(self.act)(h)
         if self.dropout > 0.0:

@@ -108,6 +108,11 @@ class FCDecoder(nn.Module):
             return CBA(ch, act=cfg.act, dropout=0.0,
                        use_pallas=cfg.use_pallas_conv, **kw)(x, train)
 
+        def up_cba(x, ch):
+            """fused nearest-up(2) + conv -> BN -> act (exact)."""
+            return CBA(ch, act=cfg.act, dropout=0.0,
+                       upsample2_fused=True, **kw)(x, train)
+
         def conv_bn(x, ch):
             x = Conv3d(ch, use_bias=True, **kw)(x)
             return BatchNorm(**kw)(x, train)
@@ -121,16 +126,15 @@ class FCDecoder(nn.Module):
         y = act(y + g)
         # block2u: conv-BN-act -> up2 -> conv-BN-act (fo -> t)
         y = cba(y, fo)
-        y = upsample_nearest3d(y, 2)
-        y = cba(y, t)
+        y = up_cba(y, t) if cfg.fuse_upconv else cba(upsample_nearest3d(y, 2), t)
         # block3 skip
         g = conv_bn(cba(y, t), t)
         y = act(y + g)
         # block4u (t -> s), block5u (s -> f), block6u (f -> f)
         for ch_in, ch_out in ((t, s), (s, f), (f, f)):
             y = cba(y, ch_in)
-            y = upsample_nearest3d(y, 2)
-            y = cba(y, ch_out)
+            y = (up_cba(y, ch_out) if cfg.fuse_upconv
+                 else cba(upsample_nearest3d(y, 2), ch_out))
         # last block: conv -> ReLU (mymodel.py:210-213)
         y = Conv3d(1, use_bias=True, **kw)(y)
         return nn.relu(y)

@@ -24,17 +24,20 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
 
 # per-axis selection matrices: row = low-res tap index (2), col = original
 # kernel index (3). a=0 -> taps (x[i-1], x[i]) with (w0, w1+w2);
 # a=1 -> taps (x[i], x[i+1]) with (w0+w1, w2).
+# numpy on purpose: module-level jnp constants become leaked tracers when
+# the first import happens inside a jit trace.
 _SEL = {
-    0: jnp.array([[1.0, 0.0, 0.0],
-                  [0.0, 1.0, 1.0]]),
-    1: jnp.array([[1.0, 1.0, 0.0],
-                  [0.0, 0.0, 1.0]]),
+    0: np.array([[1.0, 0.0, 0.0],
+                 [0.0, 1.0, 1.0]], np.float32),
+    1: np.array([[1.0, 1.0, 0.0],
+                 [0.0, 0.0, 1.0]], np.float32),
 }
 # left/right padding of the low-res input per parity
 _PAD = {0: (1, 0), 1: (0, 1)}
@@ -54,20 +57,22 @@ def upsampled_conv3x3(x: Array, w: Array, bias: Optional[Array] = None) -> Array
             for c in (0, 1):
                 k = jnp.einsum(
                     "sd,th,uw,dhwio->stuio",
-                    _SEL[a].astype(jnp.float32), _SEL[b].astype(jnp.float32),
-                    _SEL[c].astype(jnp.float32), w.astype(jnp.float32),
+                    _SEL[a], _SEL[b], _SEL[c], w.astype(jnp.float32),
                 ).astype(dtype)
+                # no preferred_element_type: the conv vjp transposes with a
+                # cotangent of the OUTPUT dtype, and an f32-upcast output
+                # would make the transposed conv mixed-dtype. TPU accumulates
+                # bf16 convs in fp32 on the MXU regardless.
                 y = jax.lax.conv_general_dilated(
                     x, k, (1, 1, 1),
                     padding=(_PAD[a], _PAD[b], _PAD[c]),
                     dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                    preferred_element_type=jnp.float32,
                 )
                 parity_outs.append(y)
     # interleave: (8, N, D, H, W, Co) -> (N, 2D, 2H, 2W, Co)
     stacked = jnp.stack(parity_outs).reshape(2, 2, 2, n, d, h, wd, co)
     out = stacked.transpose(3, 4, 0, 5, 1, 6, 2, 7)
-    out = out.reshape(n, 2 * d, 2 * h, 2 * wd, co).astype(dtype)
+    out = out.reshape(n, 2 * d, 2 * h, 2 * wd, co)
     if bias is not None:
         out = out + bias.astype(dtype)
     return out

@@ -74,3 +74,18 @@ def test_model_level_equivalence():
     (mu2, lv2, z2, rec_f), _ = m_f.forward(v, x, jax.random.key(1), val_eps=0.1)
     np.testing.assert_allclose(np.asarray(rec_f), np.asarray(rec_p),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fc_model_level_equivalence():
+    cfg = get_model_config("tiny_fc")
+    cfg_f = dataclasses.replace(cfg, fuse_upconv=True)
+    cfg_p = dataclasses.replace(cfg, fuse_upconv=False)
+    m_f, m_p = make_model(cfg_f), make_model(cfg_p)
+    x = jnp.asarray(np.random.RandomState(4).rand(2, *cfg.input_shape, 1).astype(np.float32))
+    v = m_p.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(m_f.init(jax.random.key(0), x))
+            == jax.tree_util.tree_structure(v))
+    (_, _, _, rec_p), _ = m_p.forward(v, x, jax.random.key(1), val_eps=0.1)
+    (_, _, _, rec_f), _ = m_f.forward(v, x, jax.random.key(1), val_eps=0.1)
+    np.testing.assert_allclose(np.asarray(rec_f), np.asarray(rec_p),
+                               atol=1e-4, rtol=1e-4)
