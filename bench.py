@@ -71,7 +71,7 @@ def measure_tpu(batch: int, steps: int, warmup: int) -> float:
     return batch * steps / dt
 
 
-def measure_torch_cpu_baseline(batch: int = 4, steps: int = 1) -> float:
+def measure_torch_cpu_baseline(batch: int = 2, steps: int = 1) -> float:
     """Time the reference PyTorch model's two-phase step on CPU.
 
     Imports the reference's models/models.py (torch-only deps) and drives it
@@ -142,7 +142,8 @@ def measure_torch_cpu_baseline(batch: int = 4, steps: int = 1) -> float:
         opt_d.zero_grad(); lossD.backward(); opt_d.step()
 
     model.train()
-    one_step()  # warmup
+    # no warmup: torch eager CPU has no compile step, and a single
+    # two-phase step at this scale already takes tens of minutes
     t0 = time.perf_counter()
     for _ in range(steps):
         one_step()

@@ -44,7 +44,23 @@ PRESETS = {
 }
 
 
-def build_pipelines(args, input_shape):
+def make_augment_fn(spec):
+    """('affine', degrees, p) or ('noise', std, p) -> on-device batch fn."""
+    if spec is None:
+        return None
+    kind, value, p = spec
+    if kind == "affine":
+        from sivae_tpu.data.augment import random_affine_batch
+
+        return lambda key, vox: random_affine_batch(key, vox, degrees=value, p=p)
+    if kind == "noise":
+        from sivae_tpu.data.augment import random_noise_batch
+
+        return lambda key, vox: random_noise_batch(key, vox, mean=value, std=value, p=p)
+    raise ValueError(f"unknown augment kind {kind!r}")
+
+
+def build_pipelines(args, input_shape, augment_spec=None):
     from sivae_tpu.data.pipeline import BrainDataSource, DataPipeline, grouped_split
     from sivae_tpu.parallel.mesh import make_mesh
 
@@ -65,7 +81,10 @@ def build_pipelines(args, input_shape):
     labels = src.labels
     tid, vid = grouped_split(labels, src.pids, n_splits=5, split_index=4,
                              seed=args.seed_split)
-    train = DataPipeline(src.subset(tid), args.batch, mesh=mesh, seed=args.seed_split)
+    # augmentation applies to the train split only (reference passes
+    # transform=None for val, 600z_main.py:138)
+    train = DataPipeline(src.subset(tid), args.batch, mesh=mesh, seed=args.seed_split,
+                         augment=make_augment_fn(augment_spec))
     val = DataPipeline(src.subset(vid), args.batch, mesh=mesh, shuffle=False)
     return train, val, mesh
 
@@ -106,7 +125,8 @@ def main():
     run_dir = args.run_dir or f"./runs/{args.preset}"
     os.makedirs(run_dir, exist_ok=True)
 
-    train, val, mesh = build_pipelines(args, cfg.input_shape)
+    train, val, mesh = build_pipelines(args, cfg.input_shape,
+                                       augment_spec=preset.get("augment"))
     model = make_model(cfg)
     optim_cfg = OptimConfig(lr=args.lr)
     train_cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch, seed=args.seed)

@@ -78,6 +78,7 @@ class DataPipeline:
         seed: int = 103,           # seed_ti in the entry scripts (main.py:51)
         prefetch: int = 2,
         preprocess_on_device: bool = True,
+        augment=None,              # callable (rng_key, vox) -> vox, on device
     ):
         self.source = source
         self.batch_size = batch_size
@@ -86,6 +87,7 @@ class DataPipeline:
         self.seed = seed
         self.prefetch = prefetch
         self.preprocess_on_device = preprocess_on_device
+        self.augment = augment
         self.steps_per_epoch = len(source) // batch_size
         if self.steps_per_epoch == 0:
             raise ValueError(
@@ -116,6 +118,13 @@ class DataPipeline:
                     else:
                         vox = jax.device_put(vox)
                         lab = jax.device_put(lab)
+                    if self.augment is not None:
+                        # reference applies TorchIO transforms BEFORE the
+                        # clip/minmax preprocess (data_load.py:21-23); same
+                        # order here, with a per-(epoch, step) key
+                        key = jax.random.key(
+                            self.seed * 100003 + epoch_idx * self.steps_per_epoch + step)
+                        vox = self.augment(key, vox)
                     if self.preprocess_on_device:
                         vox = preprocess_batch(vox)
                     q.put((vox, lab))

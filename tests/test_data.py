@@ -140,3 +140,21 @@ def test_random_noise():
     assert abs(out.mean() - 1.0) < 0.01
     out0 = np.asarray(random_noise_batch(jax.random.key(0), vox, p=0.0))
     np.testing.assert_array_equal(out0, vox)
+
+
+def test_pipeline_augmentation_applied():
+    from sivae_tpu.data.augment import random_affine_batch
+
+    src = BrainDataSource(SyntheticBrainSource(8, shape=(12, 12, 12), seed=5).records)
+    aug = lambda key, vox: random_affine_batch(key, vox, degrees=15.0, p=1.0)  # noqa: E731
+    plain = DataPipeline(src, batch_size=4, shuffle=False, seed=1)
+    auged = DataPipeline(src, batch_size=4, shuffle=False, seed=1, augment=aug)
+    (v0, _), (v1, _) = next(iter(plain.epoch(0))), next(iter(auged.epoch(0)))
+    assert v0.shape == v1.shape
+    assert not np.allclose(np.asarray(v0), np.asarray(v1))
+    # augmentation is deterministic per (seed, epoch, step)
+    (v2, _) = next(iter(auged.epoch(0)))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    # different epoch -> different augmentation
+    (v3, _) = next(iter(auged.epoch(1)))
+    assert not np.allclose(np.asarray(v1), np.asarray(v3))
