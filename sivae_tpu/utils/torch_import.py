@@ -144,5 +144,100 @@ def import_spatial_soft_intro_vae(
     return out
 
 
+def _fc_perm_in(fo: int, d: int, h: int, w: int) -> np.ndarray:
+    """Feature permutation torch-flatten(C,D,H,W) -> ours (D,H,W,C)."""
+    idx = np.arange(fo * d * h * w).reshape(fo, d, h, w)
+    return idx.transpose(1, 2, 3, 0).reshape(-1)
+
+
+def import_fc_soft_intro_vae(
+    state_dict: Dict[str, np.ndarray],
+    cfg,
+    variables: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a reference models/mymodel.py SoftIntroVAE state_dict onto the
+    FC-latent model (reference mymodel.py:51-230).
+
+    The torch fc head is one Linear chunked into (mu, logvar)
+    (mymodel.py:125,142); we split its rows. Flatten-order differences
+    (torch C-major vs our channels-last) are fixed by permuting the fc
+    input features and the dfc output features.
+    """
+    import jax
+
+    out = jax.tree_util.tree_map(np.asarray, variables)
+    enc_p, enc_s = out["enc"]["params"], out["enc"]["batch_stats"]
+    dec_p, dec_s = out["dec"]["params"], out["dec"]["batch_stats"]
+    sd = state_dict
+    fo = cfg.forth_ch
+    d, h, w = cfg.bottleneck_spatial_shape
+    z = cfg.z_ch
+
+    # ---- encoder convs/BNs in call order -> CheckpointConvBNAct_i ----
+    enc_layers = [  # (torch prefix, conv idx, bn idx)
+        ("encoder.block1", 0, 1), ("encoder.block1", 3, 4),
+        ("encoder.block2", 0, 1), ("encoder.block2", 3, 4),
+        ("encoder.block3", 0, 1), ("encoder.block3", 3, 4),
+        ("encoder.block4short", 0, 1),
+        ("encoder.block5", 0, 1),
+        ("encoder.block6", 0, 1), ("encoder.block6", 4, 5),
+        ("encoder.block7", 0, 1),
+    ]
+    for i, (pre, ci, bi) in enumerate(enc_layers):
+        f = f"CheckpointConvBNAct_{i}"
+        _import_conv(sd, f"{pre}.{ci}", enc_p, (f, "Conv3d_0", "Conv_0"))
+        _import_bn(sd, f"{pre}.{bi}", enc_p, enc_s, (f, "BatchNorm_0", "BatchNorm_0"))
+    # block7's second conv+BN are bare modules in our encoder
+    _import_conv(sd, "encoder.block7.3", enc_p, ("Conv3d_0", "Conv_0"))
+    _import_bn(sd, "encoder.block7.4", enc_p, enc_s, ("BatchNorm_0", "BatchNorm_0"))
+
+    # ---- fc head: rows 0:z -> mu, z:2z -> logvar; permute input features
+    perm = _fc_perm_in(fo, d, h, w)
+    fcw = sd["encoder.fc.weight"]          # (2z, fo*d*h*w), torch C-major in
+    fcb = sd["encoder.fc.bias"]
+    _set(enc_p, ("mu", "kernel"), fcw[:z][:, perm].T)
+    _set(enc_p, ("mu", "bias"), fcb[:z])
+    _set(enc_p, ("logvar", "kernel"), fcw[z:][:, perm].T)
+    _set(enc_p, ("logvar", "bias"), fcb[z:])
+
+    # ---- decoder dfc: permute OUTPUT features (torch reshapes to (fo,d,h,w))
+    dfw = sd["decoder.dfc.0.weight"]       # (fo*d*h*w, z)
+    dfb = sd["decoder.dfc.0.bias"]
+    _set(dec_p, ("Dense_0", "kernel"), dfw[perm].T)
+    _set(dec_p, ("Dense_0", "bias"), dfb[perm])
+
+    # ---- decoder convs/BNs ----
+    # call order: CBA_0(block1 conv0), Conv3d_0+BatchNorm_0 (block1 conv3),
+    # CBA_1(block2u conv0), CBA_2(block2u conv4, fused up),
+    # CBA_3(block3 conv0), Conv3d_1+BatchNorm_1 (block3 conv3),
+    # CBA_4..9 (block4u/5u/6u conv0+conv4), Conv3d_2 (last_block conv0)
+    cba_layers = [
+        ("decoder.block1", 0, 1, "CheckpointConvBNAct_0"),
+        ("decoder.block2u", 0, 1, "CheckpointConvBNAct_1"),
+        ("decoder.block2u", 4, 5, "CheckpointConvBNAct_2"),
+        ("decoder.block3", 0, 1, "CheckpointConvBNAct_3"),
+        ("decoder.block4u", 0, 1, "CheckpointConvBNAct_4"),
+        ("decoder.block4u", 4, 5, "CheckpointConvBNAct_5"),
+        ("decoder.block5u", 0, 1, "CheckpointConvBNAct_6"),
+        ("decoder.block5u", 4, 5, "CheckpointConvBNAct_7"),
+        ("decoder.block6u", 0, 1, "CheckpointConvBNAct_8"),
+        ("decoder.block6u", 4, 5, "CheckpointConvBNAct_9"),
+    ]
+    for pre, ci, bi, f in cba_layers:
+        _import_conv(sd, f"{pre}.{ci}", dec_p, (f, "Conv3d_0", "Conv_0"))
+        _import_bn(sd, f"{pre}.{bi}", dec_p, dec_s, (f, "BatchNorm_0", "BatchNorm_0"))
+    _import_conv(sd, "decoder.block1.3", dec_p, ("Conv3d_0", "Conv_0"))
+    _import_bn(sd, "decoder.block1.4", dec_p, dec_s, ("BatchNorm_0", "BatchNorm_0"))
+    _import_conv(sd, "decoder.block3.3", dec_p, ("Conv3d_1", "Conv_0"))
+    _import_bn(sd, "decoder.block3.4", dec_p, dec_s, ("BatchNorm_1", "BatchNorm_0"))
+    _import_conv(sd, "decoder.last_block.0", dec_p, ("Conv3d_2", "Conv_0"))
+    return out
+
+
 def import_torch_checkpoint(path: str, cfg, variables: Dict[str, Any]) -> Dict[str, Any]:
-    return import_spatial_soft_intro_vae(load_torch_state_dict(path), cfg, variables)
+    from sivae_tpu.config import FCVAEConfig
+
+    sd = load_torch_state_dict(path)
+    if isinstance(cfg, FCVAEConfig):
+        return import_fc_soft_intro_vae(sd, cfg, variables)
+    return import_spatial_soft_intro_vae(sd, cfg, variables)

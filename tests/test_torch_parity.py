@@ -125,3 +125,39 @@ def test_projection_shortcut_config_parity():
     (jmu, _), _ = model.encode(imported["enc"], jnp.asarray(x[..., None]))
     np.testing.assert_allclose(
         tmu.numpy()[:, 0], np.asarray(jmu)[..., 0], rtol=1e-4, atol=1e-4)
+
+
+def test_fc_family_parity():
+    """FC-latent (mymodel.py) import + numerical parity, incl. the
+    flatten-order permutations on the fc/dfc heads."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import models.mymodel as ref_mymodel
+
+    from sivae_tpu.config import FCVAEConfig
+    from sivae_tpu.utils.torch_import import import_fc_soft_intro_vae
+
+    # the reference hardcodes the 80x96x80 -> (5,6,5) bottleneck
+    # (mymodel.py:125 `Linear(forth_ch*5*6*5, ...)`), so parity must run at
+    # full input resolution; tiny channel counts keep it fast
+    cfg = FCVAEConfig(first_ch=2, second_ch=3, third_ch=4, forth_ch=5, z_ch=7,
+                      input_shape=(80, 96, 80))
+    torch.manual_seed(3)
+    tmodel = ref_mymodel.SoftIntroVAE(2, 3, 4, 5, 7)
+    tmodel.eval()
+    model = make_model(cfg)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1,) + cfg.input_shape + (1,), jnp.float32))
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    imported = import_fc_soft_intro_vae(sd, cfg, variables)
+
+    x = np.random.RandomState(9).rand(2, *cfg.input_shape).astype(np.float32)
+    with torch.no_grad():
+        tmu, tlogvar = tmodel.encode(torch.tensor(x[:, None]))
+        ty = tmodel.decode(tmu)
+    (jmu, jlogvar), _ = model.encode(imported["enc"], jnp.asarray(x[..., None]))
+    np.testing.assert_allclose(tmu.numpy(), np.asarray(jmu), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(tlogvar.numpy(), np.asarray(jlogvar), rtol=1e-4, atol=1e-4)
+    jy, _ = model.decode(imported["dec"], jnp.asarray(tmu.numpy()))
+    np.testing.assert_allclose(
+        ty.numpy()[:, 0], np.asarray(jy)[..., 0], rtol=1e-4, atol=1e-4)
