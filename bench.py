@@ -71,6 +71,42 @@ def measure_tpu(batch: int, steps: int, warmup: int) -> float:
     return batch * steps / dt
 
 
+def measure_encode(batch: int = 16, steps: int = 10, warmup: int = 2) -> float:
+    """Batch encode throughput (volumes/sec) — the CBIR path.
+
+    Reference anchor: ~27 volumes/s at batch=1 on a GPU
+    (logistic1.ipynb cell 7, SURVEY §6)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sivae_tpu.data.preprocess import preprocess_batch
+    from sivae_tpu.data.synthetic import synthetic_brain_batch
+    from sivae_tpu.models.registry import get_model_config, make_model
+
+    cfg = dataclasses.replace(get_model_config("spatial_1200"), dtype=jnp.bfloat16)
+    model = make_model(cfg)
+    vox, _ = synthetic_brain_batch(batch, cfg.input_shape, seed=0)
+    x = preprocess_batch(jax.device_put(vox))
+    variables = model.init(jax.random.key(0), x[:1])
+    enc_vars = variables["enc"]
+
+    @jax.jit
+    def enc(x):
+        (mu, _), _ = model.encode(enc_vars, x)
+        return mu
+
+    for _ in range(warmup):
+        mu = enc(x)
+    float(jax.device_get(mu[0, 0, 0, 0, 0]))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        mu = enc(x)
+    float(jax.device_get(mu[0, 0, 0, 0, 0]))
+    return batch * steps / (time.perf_counter() - t0)
+
+
 def measure_torch_cpu_baseline(batch: int = 2, steps: int = 1) -> float:
     """Time the reference PyTorch model's two-phase step on CPU.
 
@@ -168,6 +204,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--details", action="store_true",
+                    help="also measure encode throughput; write BENCH_DETAILS.json")
     args = ap.parse_args()
 
     value = measure_tpu(args.batch, args.steps, args.warmup)
@@ -175,6 +213,17 @@ def main():
         baseline = None
     else:
         baseline = get_baseline()
+    if args.details:
+        encode_vps = measure_encode()
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAILS.json"), "w") as f:
+            json.dump({
+                "train_volumes_per_sec_per_chip": round(value, 3),
+                "encode_volumes_per_sec_per_chip": round(encode_vps, 3),
+                "torch_cpu_baseline_volumes_per_sec": baseline,
+                "train_batch": args.batch,
+                "config": "spatial_1200 (80x96x80 -> 1200-d), bf16 conv compute",
+            }, f, indent=2)
     print(json.dumps({
         "metric": "soft-intro-vae-1200d train throughput",
         "value": round(value, 3),

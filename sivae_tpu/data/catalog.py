@@ -48,7 +48,19 @@ def csv_paths(root: pathlib.Path) -> Dict[str, pathlib.Path]:
 
 
 def read_voxel(path) -> np.ndarray:
-    """Unpickle one volume as float32 (reference read_voxel :57-71)."""
+    """Load one volume as float32.
+
+    Pickled arrays (the reference's format, read_voxel :57-71) and NIfTI
+    (.nii / .nii.gz, via nibabel when installed) are supported.
+    """
+    name = str(path)
+    if name.endswith(".nii") or name.endswith(".nii.gz"):
+        try:
+            import nibabel as nib
+        except ImportError as e:
+            raise ImportError(
+                "NIfTI volumes need nibabel (pip install nibabel)") from e
+        return np.asarray(nib.load(name).get_fdata(), dtype=np.float32)
     with open(path, "rb") as rf:
         voxel = pickle.load(rf)
     return np.asarray(voxel, dtype=np.float32)
