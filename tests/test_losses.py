@@ -129,3 +129,17 @@ def test_losses_fp32_even_for_bf16_inputs():
     out = calc_reconstruction_loss(x, y, reduction="mean")
     assert out.dtype == jnp.float32
     assert float(out) == 8.0
+
+
+def test_calc_kl_general_matches_standard_at_unit_prior():
+    from sivae_tpu.ops.losses import calc_kl_general
+
+    mu = RNG.randn(3, 6).astype(np.float32)
+    lv = RNG.randn(3, 6).astype(np.float32) * 0.2
+    std = calc_kl(jnp.array(lv), jnp.array(mu), reduce="none")
+    gen = calc_kl_general(jnp.array(lv), jnp.array(mu), 0.0, 0.0, reduce="none")
+    np.testing.assert_allclose(np.asarray(gen), np.asarray(std), rtol=1e-5)
+    # KL(p || p) == 0 for matching prior
+    same = calc_kl_general(jnp.array(lv), jnp.array(mu),
+                           jnp.array(mu), jnp.array(lv), reduce="mean")
+    assert abs(float(same)) < 1e-5
