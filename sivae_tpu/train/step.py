@@ -53,17 +53,56 @@ Array = jnp.ndarray
 Metrics = Dict[str, Array]
 
 
+class _CheckpointedCalls:
+    """Wraps train-mode encode/decode in jax.checkpoint(nothing_saveable).
+
+    Function-level rematerialization: only each call's inputs/outputs stay
+    live across the step's 12 forwards, halving activation memory vs
+    block-level remat (batch 16 fits on one v5e chip; block remat OOMs).
+    Use with model cfg.remat=False to avoid double recompute.
+    """
+
+    def __init__(self, model):
+        self._m = model
+        self.latent_shape = model.latent_shape
+        self.latent_dim = model.latent_dim
+        pol = jax.checkpoint_policies.nothing_saveable
+        self._enc = jax.checkpoint(
+            lambda ev, x, key: model.encode(ev, x, train=True, dropout_rng=key),
+            policy=pol)
+        self._dec = jax.checkpoint(
+            lambda dv, z, key: model.decode(dv, z, train=True, dropout_rng=key),
+            policy=pol)
+
+    def encode(self, ev, x, train=False, dropout_rng=None):
+        if train:
+            return self._enc(ev, x, dropout_rng)
+        return self._m.encode(ev, x, train=False, dropout_rng=dropout_rng)
+
+    def decode(self, dv, z, train=False, dropout_rng=None):
+        if train:
+            return self._dec(dv, z, dropout_rng)
+        return self._m.decode(dv, z, train=False, dropout_rng=dropout_rng)
+
+
 def make_soft_intro_train_step(
     model,
     loss_cfg: SoftIntroLossConfig,
     optim_cfg: OptimConfig,
     steps_per_epoch: int,
     input_shape: Tuple[int, int, int],
+    remat_calls: bool = False,
 ) -> Callable[[SIVAETrainState, Array], Tuple[SIVAETrainState, Metrics]]:
-    """Build the two-phase Soft-IntroVAE step. jit it with donate_argnums=(0,)."""
+    """Build the two-phase Soft-IntroVAE step. jit it with donate_argnums=(0,).
+
+    remat_calls=True checkpoints whole encode/decode calls (use with
+    cfg.remat=False): lower memory, ~5% slower at batch 8, unlocks batch 16.
+    """
 
     scale = loss_cfg.resolved_scale(input_shape)
     opt = make_optimizer(optim_cfg, steps_per_epoch)
+    if remat_calls:
+        model = _CheckpointedCalls(model)
 
     def train_step(state: SIVAETrainState, real: Array) -> Tuple[SIVAETrainState, Metrics]:
         rng, k_noise, k_z, k_zrec, k_zfake, k_dzrec, k_dzfake = jax.random.split(state.rng, 7)

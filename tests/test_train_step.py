@@ -153,3 +153,24 @@ def test_cae_train_step():
     step = jax.jit(make_cae_train_step(enc, dec, OPT, 10))
     new_state, metrics = step(state, x)
     assert np.isfinite(metrics["loss"])
+
+
+def test_remat_calls_mode_matches_block_remat():
+    """Function-level checkpointing must not change the math."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, remat=False)
+    model = make_model(cfg)
+    x = jax.random.uniform(jax.random.key(0), (4,) + cfg.input_shape + (1,))
+    state_a = create_train_state(model, jax.random.key(1), x[:1], OPT, 10)
+    state_b = create_train_state(model, jax.random.key(1), x[:1], OPT, 10)
+    step_plain = jax.jit(make_soft_intro_train_step(model, LOSS, OPT, 10, cfg.input_shape))
+    step_ckpt = jax.jit(make_soft_intro_train_step(model, LOSS, OPT, 10, cfg.input_shape,
+                                                   remat_calls=True))
+    sa, ma = step_plain(state_a, x)
+    sb, mb = step_ckpt(state_b, x)
+    np.testing.assert_allclose(float(ma["lossE"]), float(mb["lossE"]), rtol=1e-6)
+    np.testing.assert_allclose(float(ma["lossD"]), float(mb["lossD"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(sa.enc_params),
+                    jax.tree_util.tree_leaves(sb.enc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
