@@ -65,7 +65,9 @@ def _conv_tap_kernel(x_ref, w_ref, out_ref, pad_ref, acc_ref):
 
         def tile_body(ti, carry):
             h0 = pl.multiple_of(ti * ht, ht)
-            acc = acc_ref[pl.ds(h0, ht), :, :].reshape(ht * wd, co)
+            # acc is stored (H, W*Co): W*Co is a 128-multiple for typical
+            # widths, so the f32 accumulator carries no lane-padding waste
+            acc = acc_ref[pl.ds(h0, ht), :].reshape(ht * wd, co)
             for kh in range(3):  # static 3-tap unroll, buffers reused per tile
                 cols = [
                     pad_ref[pl.ds(h0 + kh, ht), kw:kw + wd, :].reshape(ht * wd, c)
@@ -74,14 +76,14 @@ def _conv_tap_kernel(x_ref, w_ref, out_ref, pad_ref, acc_ref):
                 patches = jnp.concatenate(cols, axis=1)
                 wk = w_ref[0, kh].reshape(3 * c, co)
                 acc = acc + jnp.dot(patches, wk, preferred_element_type=jnp.float32)
-            acc_ref[pl.ds(h0, ht), :, :] = acc.reshape(ht, wd, co)
+            acc_ref[pl.ds(h0, ht), :] = acc.reshape(ht, wd * co)
             return carry
 
         jax.lax.fori_loop(0, h // ht, tile_body, 0)
 
     @pl.when(k == 2)
     def _():
-        out_ref[0, 0] = acc_ref[:].astype(out_ref.dtype)
+        out_ref[0, 0] = acc_ref[:].reshape(h, wd, co).astype(out_ref.dtype)
 
 
 def _conv3d_impl(x: Array, w: Array, *, interpret: bool = False) -> Array:
@@ -111,7 +113,7 @@ def _conv3d_impl(x: Array, w: Array, *, interpret: bool = False) -> Array:
         out_shape=jax.ShapeDtypeStruct((b, d, h, wd, co), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((h + 2, wd + 2, c), x.dtype),
-            pltpu.VMEM((h, wd, co), jnp.float32),
+            pltpu.VMEM((h, wd * co), jnp.float32),
         ],
         interpret=interpret,
     )(x, w)
