@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--bf16", action="store_true", default=False)
     args = ap.parse_args()
 
+    from sivae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -112,6 +112,10 @@ def main():
                     help="torch .pth or orbax dir for warm start")
     args = ap.parse_args()
 
+    from sivae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     from sivae_tpu.config import (OptimConfig, SoftIntroLossConfig, TrainConfig, to_json)

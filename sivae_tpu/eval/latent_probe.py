@@ -74,8 +74,12 @@ def logistic_auc(
     from sklearn.linear_model import LogisticRegression
     from sklearn.metrics import roc_auc_score
 
-    clf = LogisticRegression(penalty="l1", solver="liblinear", max_iter=1000)
-    clf.fit(train_z, train_y)
+    try:  # sklearn >= 1.8 spells L1 as l1_ratio=1
+        clf = LogisticRegression(l1_ratio=1.0, solver="liblinear", max_iter=1000)
+        clf.fit(train_z, train_y)
+    except (TypeError, ValueError):
+        clf = LogisticRegression(penalty="l1", solver="liblinear", max_iter=1000)
+        clf.fit(train_z, train_y)
     train_auc = roc_auc_score(train_y, clf.predict_proba(train_z)[:, 1])
     val_auc = roc_auc_score(val_y, clf.predict_proba(val_z)[:, 1])
     return float(train_auc), float(val_auc)

@@ -65,9 +65,11 @@ def _conv_tap_kernel(x_ref, w_ref, out_ref, pad_ref, acc_ref):
 
         def tile_body(ti, carry):
             h0 = pl.multiple_of(ti * ht, ht)
-            # acc is stored (H, W*Co): W*Co is a 128-multiple for typical
-            # widths, so the f32 accumulator carries no lane-padding waste
-            acc = acc_ref[pl.ds(h0, ht), :].reshape(ht * wd, co)
+            # fp32 accumulation within each tap (K=3C dot); the running
+            # cross-tap sum is held in the activation dtype (bf16 when the
+            # model computes in bf16) — same precision class as every other
+            # stored activation, and it keeps the scratch inside VMEM
+            acc = acc_ref[pl.ds(h0, ht), :, :].reshape(ht * wd, co).astype(jnp.float32)
             for kh in range(3):  # static 3-tap unroll, buffers reused per tile
                 cols = [
                     pad_ref[pl.ds(h0 + kh, ht), kw:kw + wd, :].reshape(ht * wd, c)
@@ -76,14 +78,14 @@ def _conv_tap_kernel(x_ref, w_ref, out_ref, pad_ref, acc_ref):
                 patches = jnp.concatenate(cols, axis=1)
                 wk = w_ref[0, kh].reshape(3 * c, co)
                 acc = acc + jnp.dot(patches, wk, preferred_element_type=jnp.float32)
-            acc_ref[pl.ds(h0, ht), :] = acc.reshape(ht, wd * co)
+            acc_ref[pl.ds(h0, ht), :, :] = acc.reshape(ht, wd, co).astype(acc_ref.dtype)
             return carry
 
         jax.lax.fori_loop(0, h // ht, tile_body, 0)
 
     @pl.when(k == 2)
     def _():
-        out_ref[0, 0] = acc_ref[:].reshape(h, wd, co).astype(out_ref.dtype)
+        out_ref[0, 0] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _conv3d_impl(x: Array, w: Array, *, interpret: bool = False) -> Array:
@@ -113,7 +115,7 @@ def _conv3d_impl(x: Array, w: Array, *, interpret: bool = False) -> Array:
         out_shape=jax.ShapeDtypeStruct((b, d, h, wd, co), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((h + 2, wd + 2, c), x.dtype),
-            pltpu.VMEM((h, wd * co), jnp.float32),
+            pltpu.VMEM((h, wd, co), x.dtype),
         ],
         interpret=interpret,
     )(x, w)
