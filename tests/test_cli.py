@@ -1,0 +1,53 @@
+"""CLI smoke tests: train presets and eval run end-to-end on synthetic
+volumes with the tiny model (CPU)."""
+
+import json
+import os
+import sys
+
+import pytest
+
+
+def _run_main(module, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", argv)
+    module.main()
+
+
+def test_train_cli_soft_intro(tmp_path, monkeypatch):
+    from cli import train as cli_train
+
+    run_dir = str(tmp_path / "run")
+    _run_main(cli_train, [
+        "train", "--preset", "z1200", "--model", "tiny_spatial",
+        "--synthetic", "40", "--epochs", "1", "--batch", "4",
+        "--no-bf16", "--no-data-parallel", "--run-dir", run_dir,
+    ], monkeypatch)
+    assert os.path.exists(os.path.join(run_dir, "train_result.csv"))
+    assert os.path.exists(os.path.join(run_dir, "args.json"))
+    assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+
+
+def test_train_cli_vae_preset(tmp_path, monkeypatch):
+    from cli import train as cli_train
+
+    run_dir = str(tmp_path / "vae")
+    _run_main(cli_train, [
+        "train", "--preset", "vae", "--model", "tiny_spatial",
+        "--synthetic", "40", "--epochs", "1", "--batch", "4",
+        "--no-bf16", "--no-data-parallel", "--run-dir", run_dir,
+    ], monkeypatch)
+    assert os.path.exists(os.path.join(run_dir, "train_result.csv"))
+
+
+def test_eval_cli(tmp_path, monkeypatch):
+    from cli import eval as cli_eval
+
+    out = str(tmp_path / "report.json")
+    _run_main(cli_eval, [
+        "eval", "--model", "tiny_spatial", "--synthetic", "40",
+        "--batch", "8", "--k", "3", "--out", out,
+    ], monkeypatch)
+    with open(out) as f:
+        report = json.load(f)
+    assert "retrieval_p_at_k" in report and "rmse" in report
+    assert 0.0 <= report["retrieval_p_at_k"] <= 1.0
