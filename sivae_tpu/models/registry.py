@@ -43,6 +43,14 @@ MODEL_REGISTRY = {
     "fc_150": FCVAEConfig(first_ch=12, second_ch=24, third_ch=32, forth_ch=48, z_ch=150),
     "fc_300": FCVAEConfig(first_ch=12, second_ch=24, third_ch=32, forth_ch=48, z_ch=300),
     "fc_600": FCVAEConfig(first_ch=16, second_ch=32, third_ch=64, forth_ch=128, z_ch=600),
+    # "fullsize" (~5M voxel) volumes (reference DATA_PREFIX_DICT, README.md:20):
+    # 4 stride-2 stages -> z map (10,12,10) = 1200-d. One chip cannot hold the
+    # activations — train with volume_sharding over a 'spatial' mesh axis
+    # (parallel/mesh.py), which GSPMD halo-exchanges the 3^3 convs.
+    "spatial_1200_fullsize": SpatialVAEConfig(
+        in_ch=32,
+        block_setting=((32, 1, 2), (64, 1, 2), (128, 1, 2), (256, 2, 2)),
+        input_shape=(160, 192, 160), act=_LEAKY),
     # tiny configs for tests / CPU smoke runs (16x16x16 input)
     "tiny_spatial": SpatialVAEConfig(
         in_ch=4, block_setting=((4, 1, 2), (8, 2, 2)), input_shape=(16, 16, 16), act=_LEAKY
