@@ -92,17 +92,26 @@ def make_soft_intro_train_step(
     steps_per_epoch: int,
     input_shape: Tuple[int, int, int],
     remat_calls: bool = False,
+    zero_noise: bool = False,
 ) -> Callable[[SIVAETrainState, Array], Tuple[SIVAETrainState, Metrics]]:
     """Build the two-phase Soft-IntroVAE step. jit it with donate_argnums=(0,).
 
     remat_calls=True checkpoints whole encode/decode calls (use with
     cfg.remat=False): lower memory, ~5% slower at batch 8, unlocks batch 16.
+
+    zero_noise=True makes the step fully deterministic (noise batch = 0,
+    every reparameterize returns mu) — test support for gradient-topology
+    parity against the torch reference; never use for real training.
     """
 
     scale = loss_cfg.resolved_scale(input_shape)
     opt = make_optimizer(optim_cfg, steps_per_epoch)
     if remat_calls:
         model = _CheckpointedCalls(model)
+    eps0 = 0.0 if zero_noise else None
+
+    def _reparam(key, mu, logvar):
+        return reparameterize(key, mu, logvar, val_eps=eps0)
 
     def train_step(state: SIVAETrainState, real: Array) -> Tuple[SIVAETrainState, Metrics]:
         rng, k_noise, k_z, k_zrec, k_zfake, k_dzrec, k_dzfake = jax.random.split(state.rng, 7)
@@ -111,6 +120,8 @@ def make_soft_intro_train_step(
         rng_next = dkeys[13]
         b = real.shape[0]
         noise = jax.random.normal(k_noise, (b,) + tuple(model.latent_shape), jnp.float32)
+        if zero_noise:
+            noise = jnp.zeros_like(noise)
 
         # ============ Phase E: update encoder ============ (my_trainer.py:241-288)
         def lossE_fn(enc_params):
@@ -118,7 +129,7 @@ def make_soft_intro_train_step(
             dv = {"params": state.dec_params, "batch_stats": state.dec_stats}
             fake, dv = model.decode(dv, noise, train=True, dropout_rng=dkeys[0])
             (real_mu, real_logvar), ev = model.encode(ev, real, train=True, dropout_rng=dkeys[1])
-            z = reparameterize(k_z, real_mu, real_logvar)
+            z = _reparam(k_z, real_mu, real_logvar)
             rec, dv = model.decode(dv, z, train=True, dropout_rng=dkeys[2])
 
             loss_rec = calc_reconstruction_loss(real, rec, reduction="mean")
@@ -126,10 +137,10 @@ def make_soft_intro_train_step(
 
             # model.forward(rec.detach()) / model.forward(fake.detach())
             (rec_mu, rec_logvar), ev = model.encode(ev, sg(rec), train=True, dropout_rng=dkeys[3])
-            z_rec = reparameterize(k_zrec, rec_mu, rec_logvar)
+            z_rec = _reparam(k_zrec, rec_mu, rec_logvar)
             rec_rec, dv = model.decode(dv, z_rec, train=True, dropout_rng=dkeys[4])
             (fake_mu, fake_logvar), ev = model.encode(ev, sg(fake), train=True, dropout_rng=dkeys[5])
-            z_fake = reparameterize(k_zfake, fake_mu, fake_logvar)
+            z_fake = _reparam(k_zfake, fake_mu, fake_logvar)
             rec_fake, dv = model.decode(dv, z_fake, train=True, dropout_rng=dkeys[6])
 
             fake_kl_e = calc_kl(fake_logvar, fake_mu, reduce="none")
@@ -175,9 +186,9 @@ def make_soft_intro_train_step(
             loss_rec = calc_reconstruction_loss(real, rec, reduction="mean")
 
             (rec_mu, rec_logvar), ev = model.encode(ev, rec, train=True, dropout_rng=dkeys[9])
-            z_rec = reparameterize(k_dzrec, rec_mu, rec_logvar)
+            z_rec = _reparam(k_dzrec, rec_mu, rec_logvar)
             (fake_mu, fake_logvar), ev = model.encode(ev, fake, train=True, dropout_rng=dkeys[10])
-            z_fake = reparameterize(k_dzfake, fake_mu, fake_logvar)
+            z_fake = _reparam(k_dzfake, fake_mu, fake_logvar)
 
             rec_rec, dv = model.decode(dv, sg(z_rec), train=True, dropout_rng=dkeys[11])
             rec_fake, dv = model.decode(dv, sg(z_fake), train=True, dropout_rng=dkeys[12])
