@@ -15,8 +15,6 @@ default scale jitter 0.1 reproduced), fill value 0, linear interpolation.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

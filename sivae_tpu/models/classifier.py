@@ -8,8 +8,6 @@ encoder trunk (blocks without the VAE heads) + GAP + Dense.
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ topology of the conv stack define the architecture.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

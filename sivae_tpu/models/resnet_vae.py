@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from sivae_tpu.config import SpatialVAEConfig
 from sivae_tpu.models.blocks import (
-    BatchNorm,
     Conv3d,
     ConvBlock,
     ConvBNAct,

@@ -9,8 +9,6 @@ run on device over whole batches.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,6 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Dict, List, Optional

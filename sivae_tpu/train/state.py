@@ -8,7 +8,7 @@ the PRNG key and the step counter — so checkpoint/resume is exact.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

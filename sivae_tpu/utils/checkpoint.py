@@ -11,11 +11,7 @@ reference PyTorch .pth files into our models (eval/parity tooling).
 from __future__ import annotations
 
 import os
-import re
 from typing import Any, Optional
-
-import jax
-import numpy as np
 
 
 class CheckpointManager:

@@ -8,7 +8,7 @@ is the `nan` flag in the step metrics; when it trips, wrap the step with
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 
 def checkify_step(step_fn: Callable) -> Callable:

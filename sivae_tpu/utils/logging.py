@@ -18,9 +18,6 @@ import os
 import time
 from typing import Dict, List, Optional
 
-import numpy as np
-
-
 class MetricsLogger:
     def __init__(self, run_dir: str, csv_columns: Optional[List[str]] = None):
         self.run_dir = run_dir

@@ -9,7 +9,7 @@ original/reconstruction slice panels with RMSE+SSIM annotations
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 

@@ -23,7 +23,6 @@ those orphan weights are skipped.
 
 from __future__ import annotations
 
-import copy
 from typing import Any, Dict, Tuple
 
 import numpy as np

@@ -1,6 +1,5 @@
 """Tests: classifier trainer + confusion matrix, lucky AE shapes."""
 
-import dataclasses
 import os
 
 import jax

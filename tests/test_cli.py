@@ -5,9 +5,6 @@ import json
 import os
 import sys
 
-import pytest
-
-
 def _run_main(module, argv, monkeypatch):
     monkeypatch.setattr(sys, "argv", argv)
     module.main()

@@ -7,7 +7,7 @@ import os
 import numpy as np
 import pytest
 
-from sivae_tpu.config import OptimConfig, SoftIntroLossConfig, TrainConfig
+from sivae_tpu.config import SoftIntroLossConfig, TrainConfig
 from sivae_tpu.data.pipeline import BrainDataSource, DataPipeline
 from sivae_tpu.data.synthetic import SyntheticBrainSource
 from sivae_tpu.models.registry import get_model_config, make_model

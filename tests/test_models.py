@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sivae_tpu.config import FCVAEConfig, SpatialVAEConfig
+from sivae_tpu.config import SpatialVAEConfig
 from sivae_tpu.models.registry import MODEL_REGISTRY, get_model_config, make_model
 from sivae_tpu.models.resnet_vae import reparameterize
 

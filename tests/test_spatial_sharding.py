@@ -4,7 +4,6 @@ inserts the conv halo exchanges (SURVEY §5: the CP-equivalent axis that lets
 "fullsize" volumes exceed one chip's memory)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from sivae_tpu.config import OptimConfig, SoftIntroLossConfig

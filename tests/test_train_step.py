@@ -5,8 +5,6 @@ single-device vs 8-device data-parallel equivalence (the DataParallel
 replacement, SURVEY §2.3).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,10 +1,6 @@
 """Tests: profiling helpers, checkify NaN localization, metrics logger."""
 
-import os
-
-import jax
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
 from sivae_tpu.utils.profiling import StepTimer, compiled_cost
