@@ -105,10 +105,25 @@ class DataPipeline:
         if self.shuffle:
             np.random.RandomState(self.seed + epoch_idx).shuffle(order)
         sharding = self._sharding()
+        stop = threading.Event()
+
+        def _put(q: queue.Queue, item) -> bool:
+            # Bounded-queue put that aborts when the consumer is gone, so an
+            # abandoned generator can't strand the producer thread on a full
+            # queue (one leaked thread + queue per abandoned epoch otherwise).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce(q: queue.Queue):
             try:
                 for step in range(self.steps_per_epoch):
+                    if stop.is_set():
+                        return
                     idx = order[step * self.batch_size:(step + 1) * self.batch_size]
                     vox = self.source.voxels[idx]
                     lab = self.source.labels[idx]
@@ -127,18 +142,40 @@ class DataPipeline:
                         vox = self.augment(key, vox)
                     if self.preprocess_on_device:
                         vox = preprocess_batch(vox)
-                    q.put((vox, lab))
-                q.put(None)
+                    if not _put(q, (vox, lab)):
+                        return
+                _put(q, None)
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                _put(q, e)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # Runs on normal exhaustion AND on generator close/GC (the
+            # trainer's panel path takes only the first batch). Unblock a
+            # producer mid-put, then join so no thread outlives the epoch.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
+
+    def first_batch(self) -> Tuple[jax.Array, jax.Array]:
+        """One batch from epoch 0 with deterministic cleanup of the prefetch
+        thread (used by recon-panel rendering, train/loop.py save_panels)."""
+        gen = self.epoch(0)
+        try:
+            return next(gen)
+        finally:
+            gen.close()

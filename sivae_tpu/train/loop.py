@@ -133,7 +133,7 @@ class SoftIntroTrainer:
         return avg
 
     def save_panels(self, pipeline, epoch: int) -> None:
-        vox, _ = next(iter(pipeline.epoch(0)))
+        vox, _ = pipeline.first_batch()
         (mu, logvar, z, rec), _ = self.model.forward(
             {"enc": {"params": self.state.enc_params, "batch_stats": self.state.enc_stats},
              "dec": {"params": self.state.dec_params, "batch_stats": self.state.dec_stats}},
