@@ -280,3 +280,124 @@ def test_training_trajectory_parity():
 
     np.testing.assert_allclose(j_lossE, t_lossE, rtol=5e-3)
     np.testing.assert_allclose(j_lossD, t_lossD, rtol=5e-3)
+
+
+def test_fc_training_trajectory_parity():
+    """FC-family twin of test_training_trajectory_parity: 3 full Adam steps
+    of our jitted two-phase step vs the torch trainer_fc.py semantics
+    (vector noise `randn(b, model.z_ch)` trainer_fc.py:218, lossE/lossD x10
+    :259-261/296-298, same detach topology as my_trainer) with all
+    stochasticity zeroed. Runs at the hardcoded 80x96x80 -> (5,6,5)
+    bottleneck with tiny channels."""
+    import dataclasses as _dc
+
+    from sivae_tpu.config import FCVAEConfig, OptimConfig, SoftIntroLossConfig
+    from sivae_tpu.train.state import create_train_state
+    from sivae_tpu.train.step import make_soft_intro_train_step
+    from sivae_tpu.utils.torch_import import import_fc_soft_intro_vae
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import models.mymodel as ref_mymodel
+
+    cfg = FCVAEConfig(first_ch=2, second_ch=3, third_ch=4, forth_ch=5, z_ch=7,
+                      input_shape=(80, 96, 80), logvar_head_zero_init=False,
+                      logvar_clip=None)
+    torch.manual_seed(21)
+    tmodel = ref_mymodel.SoftIntroVAE(2, 3, 4, 5, 7)
+    tmodel.reparameterize = lambda mu, logvar: mu  # zero-noise: z = mu
+    tmodel.train()
+
+    n_vox = int(np.prod(cfg.input_shape))
+    scale = 8.0 / n_vox
+    beta_rec, beta_neg, beta_kl, gamma_r = 1.0, 1024.0, 0.7, 1e-8
+    rng = np.random.RandomState(31)
+    x_np = rng.rand(2, *cfg.input_shape).astype(np.float32)
+
+    import torch.nn.functional as F
+
+    opt_e = torch.optim.Adam(tmodel.encoder.parameters(), lr=2e-4)
+    opt_d = torch.optim.Adam(tmodel.decoder.parameters(), lr=2e-4)
+
+    def recon(a, b, mean):
+        m = F.mse_loss(a.reshape(a.size(0), -1), b.reshape(b.size(0), -1),
+                       reduction="none").sum(1)
+        return m.mean() if mean else m
+
+    def tkl(logvar, mu, mean):
+        mu = mu.reshape(mu.size(0), -1); logvar = logvar.reshape(logvar.size(0), -1)
+        k = -0.5 * torch.sum(1 + logvar - mu**2 - logvar.exp(), dim=1)
+        return k.mean() if mean else k
+
+    x = torch.tensor(x_np[:, None])
+    noise = torch.zeros(2, tmodel.z_ch)  # vector noise (trainer_fc.py:218)
+    t_lossE, t_lossD = [], []
+    for _ in range(3):
+        for p in tmodel.encoder.parameters():
+            p.requires_grad = True
+        for p in tmodel.decoder.parameters():
+            p.requires_grad = False
+        fake = tmodel.decode(noise)
+        mu, logvar = tmodel.encode(x)
+        z = tmodel.reparameterize(mu, logvar)
+        rec = tmodel.decode(z)
+        loss_rec = recon(x, rec, True)
+        kl_real = tkl(logvar, mu, True)
+        rm, rl, zr, rr = tmodel.forward(rec.detach())
+        fm, fl, zf, rf = tmodel.forward(fake.detach())
+        e_f = (-2 * scale * (beta_rec * recon(fake, rf, False)
+                             + beta_neg * tkl(fl, fm, False))).exp().mean()
+        e_r = (-2 * scale * (beta_rec * recon(rec, rr, False)
+                             + beta_neg * tkl(rl, rm, False))).exp().mean()
+        lossE = 10 * (scale * (beta_rec * loss_rec + beta_kl * kl_real)
+                      + 0.5 * (e_f + e_r))
+        opt_e.zero_grad(); lossE.backward(); opt_e.step()
+        for p in tmodel.encoder.parameters():
+            p.requires_grad = False
+        for p in tmodel.decoder.parameters():
+            p.requires_grad = True
+        fake = tmodel.decode(noise)
+        rec = tmodel.decode(z.detach())
+        loss_rec = recon(x, rec, True)
+        rm, rl = tmodel.encode(rec)
+        zr = tmodel.reparameterize(rm, rl)
+        fm, fl = tmodel.encode(fake)
+        zf = tmodel.reparameterize(fm, fl)
+        rr = tmodel.decode(zr.detach())
+        rf = tmodel.decode(zf.detach())
+        lossD = 10 * scale * (
+            beta_rec * loss_rec + 0.5 * beta_kl * (tkl(rl, rm, True) + tkl(fl, fm, True))
+            + gamma_r * 0.5 * beta_rec * (recon(rec.detach(), rr, True)
+                                          + recon(fake.detach(), rf, True)))
+        opt_d.zero_grad(); lossD.backward(); opt_d.step()
+        t_lossE.append(float(lossE)); t_lossD.append(float(lossD))
+
+    # ---- our trajectory from the same imported initial weights ----
+    torch.manual_seed(21)
+    t2 = ref_mymodel.SoftIntroVAE(2, 3, 4, 5, 7)
+    sd = {k: v.detach().numpy() for k, v in t2.state_dict().items()}
+    model = make_model(cfg)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1,) + cfg.input_shape + (1,), jnp.float32))
+    imported = import_fc_soft_intro_vae(sd, cfg, variables)
+    state = create_train_state(
+        model, jax.random.key(1),
+        jnp.zeros((1,) + cfg.input_shape + (1,), jnp.float32),
+        OptimConfig(), steps_per_epoch=100)
+    state = state.replace(
+        enc_params=jax.tree_util.tree_map(jnp.asarray, imported["enc"]["params"]),
+        dec_params=jax.tree_util.tree_map(jnp.asarray, imported["dec"]["params"]),
+        enc_stats=jax.tree_util.tree_map(jnp.asarray, imported["enc"]["batch_stats"]),
+        dec_stats=jax.tree_util.tree_map(jnp.asarray, imported["dec"]["batch_stats"]))
+    loss_cfg = SoftIntroLossConfig(scale=scale, beta_kl=beta_kl)
+    step = jax.jit(make_soft_intro_train_step(
+        model, loss_cfg, OptimConfig(), 100, cfg.input_shape, zero_noise=True))
+    xj = jnp.asarray(x_np[..., None])
+    j_lossE, j_lossD = [], []
+    for _ in range(3):
+        state, metrics = step(state, xj)
+        j_lossE.append(float(metrics["lossE"]))
+        j_lossD.append(float(metrics["lossD"]))
+
+    np.testing.assert_allclose(j_lossE, t_lossE, rtol=5e-3)
+    np.testing.assert_allclose(j_lossD, t_lossD, rtol=5e-3)
