@@ -81,6 +81,27 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data",
 
 
 def replicate_state(state: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (train state) across the mesh."""
+    """Replicate a pytree (train state) across the mesh.
+
+    In multi-process mode the mesh spans non-addressable devices, where
+    device_put is rejected; every process holds the identical full value
+    (same seed), so the replicated global array is assembled from the
+    process-local copy instead.
+    """
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), state)
+    if jax.process_count() > 1:
+        import jax.numpy as jnp
+
+        def put(x):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.extended):
+                # typed PRNG keys: assemble the raw uint32 key data globally,
+                # then re-wrap (extended dtypes aren't numpy-representable)
+                kd = np.asarray(jax.random.key_data(x))
+                arr = jax.make_array_from_process_local_data(sharding, kd)
+                return jax.random.wrap_key_data(
+                    arr, impl=jax.random.key_impl(x))
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    else:
+        def put(x):
+            return jax.device_put(x, sharding)
+    return jax.tree_util.tree_map(put, state)
