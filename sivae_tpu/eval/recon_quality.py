@@ -35,9 +35,14 @@ def reconstruction_report(
     n = voxels.shape[0]
     rmses, psnrs, ssims3d, ssims2d = [], [], [], []
     first_batch = None
-    for i in range(0, n - n % batch_size, batch_size):
+    for i in range(0, n, batch_size):
         x = voxels[i:i + batch_size]
+        pad = batch_size - x.shape[0]
+        if pad:  # pad the tail to keep one compiled shape; metrics skip the pad
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
         y = np.asarray(rec_fn(x), np.float32)
+        if pad:
+            x, y = x[:batch_size - pad], y[:batch_size - pad]
         if first_batch is None:
             first_batch = (x, y)
         for j in range(x.shape[0]):
