@@ -1,13 +1,24 @@
 """Training CLI — covers the reference's five entry scripts with one tool.
 
-Experiment presets (reference SURVEY §2.2):
-  z1200      <- z-1200main.py   (spatial 1200-d, no augmentation)
-  aug-z1200  <- aug-z-1200main.py (spatial 1200-d + random affine 10deg p=.35)
-  z600       <- 600z_main.py    (FC 600-d + random affine 15deg p=.6)
-  z150       <- main.py         (spatial 150-d)
-  vae        <- vae_main.py     (plain ResNetVAE + random-noise aug)
-  cae        <- main.py --model ResNetCAE
-  vae2soft   <- main.py VAEtoSoftVAE (VAE pretrain -> warm-start S-IntroVAE)
+Experiment presets — each maps to ONE exact reference invocation:
+  z1200      <- z-1200main.py:158,202: models.SoftIntroVAE(64,[[64,1,2],
+               [128,1,2],[256,2,2]]), beta_kl=.75, beta_neg=1024, no aug
+  aug-z1200  <- aug-z-1200main.py:167: same model + RandomAffine(10deg) p=.35
+  z600       <- 600z_main.py:176 AS RUN: mymodel.SoftIntroVAE(12,24,32,48,150)
+               — z=150 despite the script name (the 600-d ctor is only a
+               comment, :54) — beta_kl=.7, RandomAffine(15deg) p=.6
+  z600-wide  <- 600z_main.py:54's documented-but-commented variant
+               "(16,32,64,128,600)": the true 600-d FC model, same betas/aug
+  z150       <- main.py:139: models.SoftIntroVAE(12,[[12,1,2],[24,1,2],
+               [32,2,2],[48,2,2]]), no aug
+  vae        <- vae_main.py:180,205: vaemodel.ResNetVAE + RandomNoise p=.5,
+               mse_w/kl_w from CLI
+  cae        <- main.py:131 --model ResNetCAE
+  vae2soft   <- main.py:185-192 VAEtoSoftVAE (VAE pretrain -> warm-start)
+
+beta_* defaults come from the preset; --beta-rec/--beta-neg/--beta-kl/
+--gamma-r override them (reference exposes these as argparse args too,
+z-1200main.py:46-48).
 
 Usage:
   python -m cli.train --preset z1200 --epochs 500 --data-root /data/radiology_datas
@@ -29,8 +40,14 @@ PRESETS = {
                   augment=None, trainer="soft_intro"),
     "aug-z1200": dict(model="spatial_1200", beta_rec=1.0, beta_neg=1024.0, beta_kl=0.75,
                       augment=("affine", 10.0, 0.35), trainer="soft_intro"),
-    "z600": dict(model="fc_600", beta_rec=1.0, beta_neg=1024.0, beta_kl=0.7,
+    # 600z_main.py:176 constructs mymodel.SoftIntroVAE(12,24,32,48,150) —
+    # z=150 with the small channel walk; the "600" in the filename refers to
+    # the commented-out ctor at :54. z600 reproduces the run; z600-wide is
+    # the documented 600-d variant.
+    "z600": dict(model="fc_150", beta_rec=1.0, beta_neg=1024.0, beta_kl=0.7,
                  augment=("affine", 15.0, 0.6), trainer="soft_intro"),
+    "z600-wide": dict(model="fc_600", beta_rec=1.0, beta_neg=1024.0, beta_kl=0.7,
+                      augment=("affine", 15.0, 0.6), trainer="soft_intro"),
     "z150": dict(model="spatial_150", beta_rec=1.0, beta_neg=1024.0, beta_kl=0.75,
                  augment=None, trainer="soft_intro"),
     "vae": dict(model="vae_150", augment=("noise", 0.03, 0.5), trainer="vae",
@@ -94,6 +111,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=500)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--beta-rec", type=float, default=None,
+                    help="override the preset's beta_rec")
+    ap.add_argument("--beta-neg", type=float, default=None)
+    ap.add_argument("--beta-kl", type=float, default=None)
+    ap.add_argument("--gamma-r", type=float, default=None)
     ap.add_argument("--data-root", default="/data/radiology_datas")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="use N synthetic volumes instead of the dataset")
@@ -153,9 +175,14 @@ def main():
         return
 
     loss_cfg = SoftIntroLossConfig(
-        beta_rec=preset.get("beta_rec", 1.0),
-        beta_neg=preset.get("beta_neg", 1024.0),
-        beta_kl=preset.get("beta_kl", 0.75))
+        beta_rec=(args.beta_rec if args.beta_rec is not None
+                  else preset.get("beta_rec", 1.0)),
+        beta_neg=(args.beta_neg if args.beta_neg is not None
+                  else preset.get("beta_neg", 1024.0)),
+        beta_kl=(args.beta_kl if args.beta_kl is not None
+                 else preset.get("beta_kl", 0.75)))
+    if args.gamma_r is not None:
+        loss_cfg = dataclasses.replace(loss_cfg, gamma_r=args.gamma_r)
 
     if preset["trainer"] == "vae2soft":
         # two-stage pipeline (main.py:185-192): VAE pretrain, warm-start S-IntroVAE

@@ -18,10 +18,28 @@ def test_train_cli_soft_intro(tmp_path, monkeypatch):
         "train", "--preset", "z1200", "--model", "tiny_spatial",
         "--synthetic", "40", "--epochs", "1", "--batch", "4",
         "--no-bf16", "--no-data-parallel", "--run-dir", run_dir,
+        "--beta-kl", "0.7", "--beta-neg", "512",
     ], monkeypatch)
     assert os.path.exists(os.path.join(run_dir, "train_result.csv"))
     assert os.path.exists(os.path.join(run_dir, "args.json"))
     assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+    with open(os.path.join(run_dir, "args.json")) as f:
+        snap = json.load(f)
+    assert snap["beta_kl"] == 0.7 and snap["beta_neg"] == 512.0
+
+
+def test_preset_z600_maps_to_as_run_config():
+    # 600z_main.py:176 runs mymodel.SoftIntroVAE(12,24,32,48,150): the z600
+    # preset must map to that config, the documented 600-d one to z600-wide
+    from cli.train import PRESETS
+    from sivae_tpu.models.registry import get_model_config
+
+    cfg = get_model_config(PRESETS["z600"]["model"])
+    assert (cfg.first_ch, cfg.second_ch, cfg.third_ch, cfg.forth_ch,
+            cfg.z_ch) == (12, 24, 32, 48, 150)
+    wide = get_model_config(PRESETS["z600-wide"]["model"])
+    assert (wide.first_ch, wide.second_ch, wide.third_ch, wide.forth_ch,
+            wide.z_ch) == (16, 32, 64, 128, 600)
 
 
 def test_train_cli_vae_preset(tmp_path, monkeypatch):
