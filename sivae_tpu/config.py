@@ -67,6 +67,13 @@ class SpatialVAEConfig:
     # 12 forwards before its two backwards — without remat the flagship
     # config needs ~18GB of live activations (> v5e 16GB HBM)
     remat: bool = True
+    # remat policy: None saves only block boundaries (backward recomputes
+    # whole blocks, convs included); "conv_outs" additionally saves every
+    # 3x3x3 conv output inside the block, so the backward recomputes only
+    # the cheap VPU tail (BN/act/pool) — trades HBM for MXU FLOPs.
+    # Measured on v5e (tools/perf_sweep.py, batch 8 bf16 flagship):
+    # conv_outs 5.16 vol/s vs 4.44 block-only (+16%), 16.7 vs 11.6 GB temp.
+    remat_policy: Optional[str] = "conv_outs"
     # Early-training stability (deviations from the reference, both of which
     # only matter in the first steps; disable for strict init parity):
     # - zero-init the logvar head so e^logvar starts at 1 — the He-initialized
@@ -121,6 +128,7 @@ class FCVAEConfig:
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     remat: bool = True
+    remat_policy: Optional[str] = "conv_outs"  # see SpatialVAEConfig.remat_policy
     logvar_head_zero_init: bool = True
     logvar_clip: Optional[Tuple[float, float]] = (-30.0, 20.0)
     use_pallas_conv: bool = False

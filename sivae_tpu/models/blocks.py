@@ -15,14 +15,38 @@ transposes around every conv.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from sivae_tpu.config import ActivationConfig
 
 Array = jnp.ndarray
+
+# checkpoint_name tags for conv outputs; used by the "conv_outs" remat
+# policies (save the MXU-heavy results, recompute only the VPU tail in
+# backward). checkpoint_name is the identity outside a policied
+# jax.checkpoint region. Full-resolution outputs carry their own tag so the
+# save set can exclude them ("conv_outs_lo"). Measured at the flagship's
+# batch 8 on v5e (tools/perf_sweep.py): saving ALL conv outs ("conv_outs")
+# slightly overflows HBM (16.7 GB > 15.75) and XLA inserts
+# compress/decompress copies (~19% of step time, seen in the xplane
+# profile) — yet it is STILL the fastest variant (5.16 vol/s vs 4.74 for
+# "conv_outs_lo", whose full-res conv recompute costs more than the copies,
+# vs 4.44 for block-boundary remat).
+CONV_OUT = "conv_out"
+CONV_OUT_HI = "conv_out_hi"
+HI_RES_VOXELS = 200_000  # spatial voxels from which a conv output is "hi"
+
+
+def _tag_conv_out(y: Array) -> Array:
+    import numpy as np
+
+    voxels = int(np.prod(y.shape[1:-1]))
+    return checkpoint_name(
+        y, CONV_OUT_HI if voxels >= HI_RES_VOXELS else CONV_OUT)
 
 # He-normal initialisation — parity with the reference's
 # `nn.init.kaiming_normal_(w, nonlinearity="leaky_relu")` applied to every
@@ -58,6 +82,15 @@ def upsample_nearest3d(x: Array, scale: int) -> Array:
     return x
 
 
+# Dropout cost note (v5e, flagship step, batch 8): two alternative mask
+# generators were measured and rejected — uint8-threshold threefry masks
+# (4x fewer random words: 1566ms/step vs 1550ms baseline, a wash; the cost
+# is the mask APPLY traffic, not bit generation) and the XLA
+# rng-bit-generator ("rbg" keys: fast but schedule-DEPENDENT output, which
+# changed losses by 5% across remat variants and would silently break the
+# DP == single-device guarantee). nn.Dropout over threefry stays.
+
+
 class _PallasConvCore(nn.Module):
     """Drop-in for nn.Conv (3x3x3 SAME stride-1) using the Pallas
     implicit-GEMM kernel. Named "Conv_0" by callers so the param tree is
@@ -81,7 +114,7 @@ class _PallasConvCore(nn.Module):
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
-        return y
+        return _tag_conv_out(y)
 
 
 class _FusedUpConvCore(nn.Module):
@@ -106,8 +139,9 @@ class _FusedUpConvCore(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype).astype(self.dtype)
-        return upsampled_conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
-                                 bias)
+        return _tag_conv_out(
+            upsampled_conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
+                              bias))
 
 
 class Conv3d(nn.Module):
@@ -129,7 +163,7 @@ class Conv3d(nn.Module):
                 features=self.features, use_bias=self.use_bias,
                 kernel_init=init, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="Conv_0")(x)
-        return nn.Conv(
+        return _tag_conv_out(nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
             strides=(1, 1, 1),
@@ -138,7 +172,7 @@ class Conv3d(nn.Module):
             kernel_init=init,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(x)
+        )(x))
 
 
 class BatchNorm(nn.Module):
@@ -248,16 +282,33 @@ class UpBlock(nn.Module):
         return act(h)
 
 
-def maybe_remat(block_cls, remat: bool):
+def remat_policy_by_name(name: Optional[str]):
+    """Resolve a config remat_policy string to a jax.checkpoint policy."""
+    import jax
+
+    if name is None:
+        return None
+    if name == "conv_outs":
+        return jax.checkpoint_policies.save_only_these_names(CONV_OUT, CONV_OUT_HI)
+    if name == "conv_outs_lo":
+        return jax.checkpoint_policies.save_only_these_names(CONV_OUT)
+    raise ValueError(f"unknown remat_policy {name!r}")
+
+
+def maybe_remat(block_cls, remat: bool, policy: Optional[str] = None):
     """Wrap a block module class in nn.remat (activation rematerialization).
 
     Block outputs stay live across the step's many forwards; block internals
     are recomputed in the backward pass — jax.checkpoint at the natural
     block boundary (`train` flag is static argument 2 of __call__).
+
+    policy="conv_outs" additionally saves every tagged conv output inside
+    the block so the backward recomputes only BN/act/pool, not the convs.
     """
     if not remat:
         return block_cls
-    return nn.remat(block_cls, static_argnums=(2,))
+    return nn.remat(block_cls, static_argnums=(2,),
+                    policy=remat_policy_by_name(policy))
 
 
 class ConvBNAct(nn.Module):

@@ -46,7 +46,7 @@ class FCEncoder(nn.Module):
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         act = make_act(cfg.act)
         f, s, t, fo = cfg.first_ch, cfg.second_ch, cfg.third_ch, cfg.forth_ch
-        CBA = maybe_remat(ConvBNAct, cfg.remat)
+        CBA = maybe_remat(ConvBNAct, cfg.remat, cfg.remat_policy)
 
         def cba(h, ch):
             return CBA(ch, act=cfg.act, dropout=0.0,
@@ -102,7 +102,7 @@ class FCDecoder(nn.Module):
         act = make_act(cfg.act)
         f, s, t, fo = cfg.first_ch, cfg.second_ch, cfg.third_ch, cfg.forth_ch
         d, h_, w = cfg.bottleneck_spatial_shape
-        CBA = maybe_remat(ConvBNAct, cfg.remat)
+        CBA = maybe_remat(ConvBNAct, cfg.remat, cfg.remat_policy)
 
         def cba(x, ch):
             return CBA(ch, act=cfg.act, dropout=0.0,

@@ -52,8 +52,8 @@ class SpatialEncoder(nn.Module):
         cfg = self.cfg
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         bkw = dict(use_pallas=cfg.use_pallas_conv, **kw)
-        Stem = maybe_remat(ConvBNAct, cfg.remat)
-        Block = maybe_remat(ConvBlock, cfg.remat)
+        Stem = maybe_remat(ConvBNAct, cfg.remat, cfg.remat_policy)
+        Block = maybe_remat(ConvBlock, cfg.remat, cfg.remat_policy)
         h = Stem(cfg.in_ch, act=cfg.act, dropout=cfg.act.stem_dropout, **bkw)(x, train)
         for c, n, s in cfg.block_setting:
             for i in range(n):
@@ -84,8 +84,8 @@ class SpatialDecoder(nn.Module):
         cfg = self.cfg
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         bkw = dict(use_pallas=cfg.use_pallas_conv, **kw)
-        Head = maybe_remat(ConvBNAct, cfg.remat)
-        Block = maybe_remat(UpBlock, cfg.remat)
+        Head = maybe_remat(ConvBNAct, cfg.remat, cfg.remat_policy)
+        Block = maybe_remat(UpBlock, cfg.remat, cfg.remat_policy)
         last = cfg.block_setting[-1][0]
         h = Head(
             last, act=cfg.act, dropout=cfg.act.dec_in_dropout,

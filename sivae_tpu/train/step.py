@@ -62,11 +62,16 @@ class _CheckpointedCalls:
     Use with model cfg.remat=False to avoid double recompute.
     """
 
-    def __init__(self, model):
+    def __init__(self, model, policy: str | None = None):
         self._m = model
         self.latent_shape = model.latent_shape
         self.latent_dim = model.latent_dim
-        pol = jax.checkpoint_policies.nothing_saveable
+        if policy is None:
+            pol = jax.checkpoint_policies.nothing_saveable
+        else:
+            from sivae_tpu.models.blocks import remat_policy_by_name
+
+            pol = remat_policy_by_name(policy)
         self._enc = jax.checkpoint(
             lambda ev, x, key: model.encode(ev, x, train=True, dropout_rng=key),
             policy=pol)
@@ -92,6 +97,7 @@ def make_soft_intro_train_step(
     steps_per_epoch: int,
     input_shape: Tuple[int, int, int],
     remat_calls: bool = False,
+    remat_calls_policy: str | None = None,
     zero_noise: bool = False,
 ) -> Callable[[SIVAETrainState, Array], Tuple[SIVAETrainState, Metrics]]:
     """Build the two-phase Soft-IntroVAE step. jit it with donate_argnums=(0,).
@@ -107,7 +113,7 @@ def make_soft_intro_train_step(
     scale = loss_cfg.resolved_scale(input_shape)
     opt = make_optimizer(optim_cfg, steps_per_epoch)
     if remat_calls:
-        model = _CheckpointedCalls(model)
+        model = _CheckpointedCalls(model, remat_calls_policy)
     eps0 = 0.0 if zero_noise else None
 
     def _reparam(key, mu, logvar):
@@ -180,8 +186,18 @@ def make_soft_intro_train_step(
         def lossD_fn(dec_params):
             dv = {"params": dec_params, "batch_stats": dec_stats}
             ev = {"params": enc_params, "batch_stats": enc_stats}
-            fake, dv = model.decode(dv, noise, train=True, dropout_rng=dkeys[7])
-            rec, dv = model.decode(dv, z, train=True, dropout_rng=dkeys[8])
+            # Dropout keys deliberately REUSE phase E's dkeys[0]/dkeys[2]:
+            # decoder params are unchanged between the phases (optE touches
+            # only the encoder) and train-mode BN normalizes by batch stats,
+            # so with equal masks these two forwards are value-identical to
+            # phase E's decode(noise)/decode(z) and XLA CSEs the whole
+            # subgraphs (~6% step time). The reference redraws masks
+            # (fresh eager forwards, my_trainer.py:297-298); sharing them
+            # within one step only correlates the E/D mask pairing — each
+            # phase's dropout-gradient estimator is unchanged in
+            # distribution.
+            fake, dv = model.decode(dv, noise, train=True, dropout_rng=dkeys[0])
+            rec, dv = model.decode(dv, z, train=True, dropout_rng=dkeys[2])
 
             loss_rec = calc_reconstruction_loss(real, rec, reduction="mean")
 

@@ -172,3 +172,41 @@ def test_remat_calls_mode_matches_block_remat():
     for a, b in zip(jax.tree_util.tree_leaves(sa.enc_params),
                     jax.tree_util.tree_leaves(sb.enc_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_conv_outs_remat_policy_matches_default():
+    """Remat policies (save tagged conv outputs vs block boundaries only)
+    change scheduling, never math — losses and updates agree to float noise.
+
+    NB deliberately compares only remat=True variants: flax nn.remat renames
+    the module path ("CheckpointConvBlock_0"), which changes the
+    path-folded RNG streams for BOTH param init and dropout, so remat
+    on/off models legitimately differ from step 0. The remat=True model's
+    math is instead validated externally by the torch trajectory-parity
+    tests, and remat_calls-vs-plain (same model instance, same init) by
+    test_remat_calls_mode_matches_block_remat."""
+    import dataclasses
+
+    from sivae_tpu.config import SpatialVAEConfig
+
+    cfg0 = SpatialVAEConfig(in_ch=4, block_setting=((4, 1, 2), (8, 2, 2)),
+                            input_shape=(8, 8, 8))
+    loss = SoftIntroLossConfig(scale=8.0 / 512)
+    x = jax.random.uniform(jax.random.key(0), (2,) + cfg0.input_shape + (1,))
+
+    def run(cfg):
+        model = make_model(cfg)
+        state = create_train_state(model, jax.random.key(1), x[:1], OPT, 10)
+        step = jax.jit(make_soft_intro_train_step(model, loss, OPT, 10,
+                                                  cfg.input_shape))
+        return step(state, x)
+
+    # dropout active: every remat=True policy is bit-identical
+    (s0, m0) = run(dataclasses.replace(cfg0, remat_policy=None))
+    for policy in ("conv_outs", "conv_outs_lo"):
+        s, m = run(dataclasses.replace(cfg0, remat_policy=policy))
+        np.testing.assert_allclose(float(m0["lossE"]), float(m["lossE"]), rtol=1e-6)
+        np.testing.assert_allclose(float(m0["lossD"]), float(m["lossD"]), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s0.enc_params),
+                        jax.tree_util.tree_leaves(s.enc_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
