@@ -68,12 +68,17 @@ class SpatialVAEConfig:
     # config needs ~18GB of live activations (> v5e 16GB HBM)
     remat: bool = True
     # remat policy: None saves only block boundaries (backward recomputes
-    # whole blocks, convs included); "conv_outs" additionally saves every
-    # 3x3x3 conv output inside the block, so the backward recomputes only
-    # the cheap VPU tail (BN/act/pool) — trades HBM for MXU FLOPs.
-    # Measured on v5e (tools/perf_sweep.py, batch 8 bf16 flagship):
-    # conv_outs 5.16 vol/s vs 4.44 block-only (+16%), 16.7 vs 11.6 GB temp.
-    remat_policy: Optional[str] = "conv_outs"
+    # whole blocks, convs included); the "conv_outs*" family additionally
+    # saves tagged 3x3x3 conv outputs inside the blocks, so the backward
+    # recomputes only the cheap VPU tail (BN/act/pool) — trading HBM for
+    # MXU FLOPs. Measured on v5e (tools/perf_sweep.py, batch 8 bf16
+    # flagship, vol/s | HLO temp): block-only 4.44 | 11.6G; conv_outs
+    # (save all) 5.33 | 16.7G — fastest but over the 15.75G HBM, XLA
+    # compresses, and real training (train + eval programs resident) OOMs;
+    # conv_outs_no_dec_hi (recompute only decoder full-res convs)
+    # 5.14 | 15.1G — the fastest variant that FITS, the default;
+    # conv_outs_no_enc_hi 4.89 | 15.2G; conv_outs_lo 4.74 | 13.5G.
+    remat_policy: Optional[str] = "conv_outs_no_dec_hi"
     # Early-training stability (deviations from the reference, both of which
     # only matter in the first steps; disable for strict init parity):
     # - zero-init the logvar head so e^logvar starts at 1 — the He-initialized
@@ -128,7 +133,7 @@ class FCVAEConfig:
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     remat: bool = True
-    remat_policy: Optional[str] = "conv_outs"  # see SpatialVAEConfig.remat_policy
+    remat_policy: Optional[str] = "conv_outs_no_dec_hi"  # see SpatialVAEConfig
     logvar_head_zero_init: bool = True
     logvar_clip: Optional[Tuple[float, float]] = (-30.0, 20.0)
     use_pallas_conv: bool = False

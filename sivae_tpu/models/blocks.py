@@ -37,16 +37,19 @@ Array = jnp.ndarray
 # "conv_outs_lo", whose full-res conv recompute costs more than the copies,
 # vs 4.44 for block-boundary remat).
 CONV_OUT = "conv_out"
-CONV_OUT_HI = "conv_out_hi"
+CONV_OUT_HI_ENC = "conv_out_hi_enc"
+CONV_OUT_HI_DEC = "conv_out_hi_dec"
 HI_RES_VOXELS = 200_000  # spatial voxels from which a conv output is "hi"
 
 
-def _tag_conv_out(y: Array) -> Array:
+def _tag_conv_out(y: Array, scope: str = "enc") -> Array:
     import numpy as np
 
     voxels = int(np.prod(y.shape[1:-1]))
+    if voxels < HI_RES_VOXELS:
+        return checkpoint_name(y, CONV_OUT)
     return checkpoint_name(
-        y, CONV_OUT_HI if voxels >= HI_RES_VOXELS else CONV_OUT)
+        y, CONV_OUT_HI_DEC if scope == "dec" else CONV_OUT_HI_ENC)
 
 # He-normal initialisation — parity with the reference's
 # `nn.init.kaiming_normal_(w, nonlinearity="leaky_relu")` applied to every
@@ -101,6 +104,7 @@ class _PallasConvCore(nn.Module):
     kernel_init: Any
     dtype: Any
     param_dtype: Any
+    tag_scope: str = "enc"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -114,7 +118,7 @@ class _PallasConvCore(nn.Module):
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
-        return _tag_conv_out(y)
+        return _tag_conv_out(y, self.tag_scope)
 
 
 class _FusedUpConvCore(nn.Module):
@@ -127,6 +131,7 @@ class _FusedUpConvCore(nn.Module):
     kernel_init: Any
     dtype: Any
     param_dtype: Any
+    tag_scope: str = "enc"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -141,7 +146,7 @@ class _FusedUpConvCore(nn.Module):
                               (self.features,), self.param_dtype).astype(self.dtype)
         return _tag_conv_out(
             upsampled_conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
-                              bias))
+                              bias), self.tag_scope)
 
 
 class Conv3d(nn.Module):
@@ -154,6 +159,7 @@ class Conv3d(nn.Module):
     param_dtype: Any = jnp.float32
     zero_init: bool = False
     use_pallas: bool = False
+    tag_scope: str = "enc"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -162,7 +168,8 @@ class Conv3d(nn.Module):
             return _PallasConvCore(
                 features=self.features, use_bias=self.use_bias,
                 kernel_init=init, dtype=self.dtype,
-                param_dtype=self.param_dtype, name="Conv_0")(x)
+                param_dtype=self.param_dtype, tag_scope=self.tag_scope,
+                name="Conv_0")(x)
         return _tag_conv_out(nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
@@ -172,7 +179,7 @@ class Conv3d(nn.Module):
             kernel_init=init,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(x))
+        )(x), self.tag_scope)
 
 
 class BatchNorm(nn.Module):
@@ -211,12 +218,13 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    tag_scope: str = "enc"
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         act = make_act(self.act)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        ckw = dict(use_pallas=self.use_pallas, **kw)
+        ckw = dict(use_pallas=self.use_pallas, tag_scope=self.tag_scope, **kw)
         h = Conv3d(self.out_ch, use_bias=self.use_bias, **ckw)(x)
         h = BatchNorm(**kw)(h, train)
         h = act(h)
@@ -246,12 +254,13 @@ class UpBlock(nn.Module):
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
     fuse_upconv: bool = True
+    tag_scope: str = "dec"
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         act = make_act(self.act)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        ckw = dict(use_pallas=self.use_pallas, **kw)
+        ckw = dict(use_pallas=self.use_pallas, tag_scope=self.tag_scope, **kw)
         in_ch = x.shape[-1]
         h = Conv3d(in_ch, use_bias=self.use_bias, **ckw)(x)
         h = BatchNorm(**kw)(h, train)
@@ -267,7 +276,8 @@ class UpBlock(nn.Module):
                     return _FusedUpConvCore(
                         features=outer.out_ch, use_bias=outer.use_bias,
                         kernel_init=he_normal, dtype=outer.dtype,
-                        param_dtype=outer.param_dtype, name="Conv_0")(h_in)
+                        param_dtype=outer.param_dtype,
+                        tag_scope=outer.tag_scope, name="Conv_0")(h_in)
 
             h = _Named(name="Conv3d_1")(h)
         else:
@@ -289,9 +299,16 @@ def remat_policy_by_name(name: Optional[str]):
     if name is None:
         return None
     if name == "conv_outs":
-        return jax.checkpoint_policies.save_only_these_names(CONV_OUT, CONV_OUT_HI)
+        return jax.checkpoint_policies.save_only_these_names(
+            CONV_OUT, CONV_OUT_HI_ENC, CONV_OUT_HI_DEC)
     if name == "conv_outs_lo":
         return jax.checkpoint_policies.save_only_these_names(CONV_OUT)
+    if name == "conv_outs_no_dec_hi":
+        return jax.checkpoint_policies.save_only_these_names(
+            CONV_OUT, CONV_OUT_HI_ENC)
+    if name == "conv_outs_no_enc_hi":
+        return jax.checkpoint_policies.save_only_these_names(
+            CONV_OUT, CONV_OUT_HI_DEC)
     raise ValueError(f"unknown remat_policy {name!r}")
 
 
@@ -323,6 +340,7 @@ class ConvBNAct(nn.Module):
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
     upsample2_fused: bool = False  # prepend nearest-up(2), fused into the conv
+    tag_scope: str = "enc"
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
@@ -336,12 +354,14 @@ class ConvBNAct(nn.Module):
                     return _FusedUpConvCore(
                         features=outer.out_ch, use_bias=outer.use_bias,
                         kernel_init=he_normal, dtype=outer.dtype,
-                        param_dtype=outer.param_dtype, name="Conv_0")(h_in)
+                        param_dtype=outer.param_dtype,
+                        tag_scope=outer.tag_scope, name="Conv_0")(h_in)
 
             h = _Named(name="Conv3d_0")(x)
         else:
             h = Conv3d(self.out_ch, kernel_size=self.kernel_size,
-                       use_bias=self.use_bias, use_pallas=self.use_pallas, **kw)(x)
+                       use_bias=self.use_bias, use_pallas=self.use_pallas,
+                       tag_scope=self.tag_scope, **kw)(x)
         h = BatchNorm(**kw)(h, train)
         h = make_act(self.act)(h)
         if self.dropout > 0.0:

@@ -106,15 +106,16 @@ class FCDecoder(nn.Module):
 
         def cba(x, ch):
             return CBA(ch, act=cfg.act, dropout=0.0,
-                       use_pallas=cfg.use_pallas_conv, **kw)(x, train)
+                       use_pallas=cfg.use_pallas_conv, tag_scope="dec",
+                       **kw)(x, train)
 
         def up_cba(x, ch):
             """fused nearest-up(2) + conv -> BN -> act (exact)."""
             return CBA(ch, act=cfg.act, dropout=0.0,
-                       upsample2_fused=True, **kw)(x, train)
+                       upsample2_fused=True, tag_scope="dec", **kw)(x, train)
 
         def conv_bn(x, ch):
-            x = Conv3d(ch, use_bias=True, **kw)(x)
+            x = Conv3d(ch, use_bias=True, tag_scope="dec", **kw)(x)
             return BatchNorm(**kw)(x, train)
 
         y = z.reshape((z.shape[0], -1))
@@ -136,7 +137,7 @@ class FCDecoder(nn.Module):
             y = (up_cba(y, ch_out) if cfg.fuse_upconv
                  else cba(upsample_nearest3d(y, 2), ch_out))
         # last block: conv -> ReLU (mymodel.py:210-213)
-        y = Conv3d(1, use_bias=True, **kw)(y)
+        y = Conv3d(1, use_bias=True, tag_scope="dec", **kw)(y)
         return nn.relu(y)
 
 

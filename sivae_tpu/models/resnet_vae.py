@@ -83,7 +83,7 @@ class SpatialDecoder(nn.Module):
     def __call__(self, z: Array, train: bool = False) -> Array:
         cfg = self.cfg
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
-        bkw = dict(use_pallas=cfg.use_pallas_conv, **kw)
+        bkw = dict(use_pallas=cfg.use_pallas_conv, tag_scope="dec", **kw)
         Head = maybe_remat(ConvBNAct, cfg.remat, cfg.remat_policy)
         Block = maybe_remat(UpBlock, cfg.remat, cfg.remat_policy)
         last = cfg.block_setting[-1][0]
@@ -101,7 +101,8 @@ class SpatialDecoder(nn.Module):
                 out_c = nc if j == n - 1 else c
                 h = Block(out_c, stride, act=cfg.act,
                           fuse_upconv=cfg.fuse_upconv, **bkw)(h, train)
-        h = Conv3d(1, use_bias=True, use_pallas=cfg.use_pallas_conv, **kw)(h)
+        h = Conv3d(1, use_bias=True, use_pallas=cfg.use_pallas_conv,
+                   tag_scope="dec", **kw)(h)
         h = make_act(cfg.act, which="tail")(h)
         if cfg.act.dec_out_dropout > 0.0:
             h = nn.Dropout(rate=cfg.act.dec_out_dropout, deterministic=not train)(h)

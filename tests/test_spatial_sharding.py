@@ -58,3 +58,38 @@ def test_spatial_only_forward_matches():
             mesh, jax.sharding.PartitionSpec())), variables["enc"])
     got = np.asarray(enc(vrep, xs))
     np.testing.assert_allclose(ref, got, atol=1e-5)
+
+
+def test_fullsize_config_on_data_x_spatial_mesh():
+    """The fullsize (~5M voxel) flagship topology (registry
+    'spatial_1200_fullsize': 160x192x160 input, 4 stride-2 stages -> latent
+    (10,12,10) = 1200-d) trains one step on the 2x4 data x spatial mesh.
+    Channels are scaled down for CPU speed; the input resolution and stage
+    topology are the real ones (reference README.md:20-21, dataset.py:34-37)."""
+    import dataclasses
+
+    full = get_model_config("spatial_1200_fullsize")
+    assert full.input_shape == (160, 192, 160)
+    assert full.latent_dim == 1200  # same latent as the half-size flagship
+    cfg = dataclasses.replace(
+        full, in_ch=2,
+        block_setting=tuple((2, 1, 2) for _ in full.block_setting))
+    assert cfg.latent_spatial_shape == full.latent_spatial_shape
+    model = make_model(cfg)
+    loss = SoftIntroLossConfig(scale=8.0 / np.prod(cfg.input_shape))
+
+    mesh = make_mesh((2, 4), ("data", "spatial"))
+    x = np.random.RandomState(0).rand(2, *cfg.input_shape, 1).astype(np.float32)
+    state = create_train_state(
+        model, jax.random.key(1),
+        jax.numpy.zeros((1,) + cfg.input_shape + (1,), jax.numpy.float32),
+        OPT, 10)
+    state = replicate_state(state, mesh)
+    xs = shard_batch(x, mesh, spatial_axis="spatial")
+    assert xs.sharding.spec == ("data", "spatial")
+    step = jax.jit(make_soft_intro_train_step(model, loss, OPT, 10, cfg.input_shape),
+                   donate_argnums=(0,))
+    new_state, metrics = step(state, xs)
+    assert np.isfinite(float(metrics["lossE"]))
+    assert np.isfinite(float(metrics["lossD"]))
+    assert int(jax.device_get(new_state.step)) == 1

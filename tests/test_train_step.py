@@ -203,7 +203,8 @@ def test_conv_outs_remat_policy_matches_default():
 
     # dropout active: every remat=True policy is bit-identical
     (s0, m0) = run(dataclasses.replace(cfg0, remat_policy=None))
-    for policy in ("conv_outs", "conv_outs_lo"):
+    for policy in ("conv_outs", "conv_outs_lo",
+               "conv_outs_no_dec_hi", "conv_outs_no_enc_hi"):
         s, m = run(dataclasses.replace(cfg0, remat_policy=policy))
         np.testing.assert_allclose(float(m0["lossE"]), float(m["lossE"]), rtol=1e-6)
         np.testing.assert_allclose(float(m0["lossD"]), float(m["lossD"]), rtol=1e-6)
