@@ -22,6 +22,9 @@ VARIANTS = {
     # name: (model_remat, model_policy, remat_calls, calls_policy)
     "block": (True, None, False, None),
     "block_conv_outs": (True, "conv_outs", False, None),
+    "block_conv_outs_no_dec_hi": (True, "conv_outs_no_dec_hi", False, None),
+    "block_conv_outs_no_enc_hi": (True, "conv_outs_no_enc_hi", False, None),
+    "block_conv_outs_lo": (True, "conv_outs_lo", False, None),
     "calls": (False, None, True, None),
     "calls_conv_outs": (False, None, True, "conv_outs"),
     "none": (False, None, False, None),
