@@ -370,7 +370,7 @@ def test_fc_training_trajectory_parity():
             + gamma_r * 0.5 * beta_rec * (recon(rec.detach(), rr, True)
                                           + recon(fake.detach(), rf, True)))
         opt_d.zero_grad(); lossD.backward(); opt_d.step()
-        t_lossE.append(float(lossE)); t_lossD.append(float(lossD))
+        t_lossE.append(float(lossE.detach())); t_lossD.append(float(lossD.detach()))
 
     # ---- our trajectory from the same imported initial weights ----
     torch.manual_seed(21)
