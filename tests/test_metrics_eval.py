@@ -108,3 +108,25 @@ def test_reconstruction_report(tiny_model_and_data, tmp_path):
     assert rep["n"] == 8
     assert np.isfinite(rep["rmse"])
     assert (tmp_path / "panel.jpg").exists()
+
+
+def test_latent_embedding_3d_and_scatter(tmp_path):
+    import numpy as np
+
+    from sivae_tpu.eval.latent_probe import latent_embedding, save_embedding_scatter
+
+    rng = np.random.RandomState(0)
+    z = np.concatenate([rng.randn(20, 40), rng.randn(20, 40) + 3.0])
+    labels = np.array([0] * 20 + [1] * 20)
+    emb3 = latent_embedding(z, method="tsne", n_components=3, pca_dim=10)
+    assert emb3.shape == (40, 3)
+    emb2 = latent_embedding(z, method="tsne", n_components=2, pca_dim=10)
+    assert emb2.shape == (40, 2)
+    for emb, name in ((emb2, "e2.png"), (emb3, "e3.png")):
+        path = str(tmp_path / name)
+        save_embedding_scatter(emb, labels, path, class_names={0: "CN", 1: "AD"})
+        assert (tmp_path / name).exists()
+    import pytest
+
+    with pytest.raises(ValueError):
+        latent_embedding(z, n_components=4)
