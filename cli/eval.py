@@ -116,15 +116,21 @@ def main():
     if args.embed:
         from sivae_tpu.eval.latent_probe import latent_embedding, save_embedding_scatter
 
-        emb = latent_embedding(z[binary], method=args.embed,
-                               n_components=args.embed_dim)
+        emb, used = latent_embedding(z[binary], method=args.embed,
+                                     n_components=args.embed_dim,
+                                     return_method=True)
         report["embed_points"] = report["tsne_points"] = int(emb.shape[0])
+        # records the method that actually ran (umap silently falls back
+        # to t-SNE when umap-learn is absent from the image)
+        report["embed_method"] = used
+        if used != args.embed:
+            print(f"[warn] {args.embed} unavailable; used {used} instead")
         if args.out:
             save_embedding_scatter(
                 emb, labels[binary],
                 os.path.join(args.out + "_panels",
-                             f"latent_{args.embed}_{args.embed_dim}d.png"),
-                title=f"{args.embed} {args.embed_dim}D (CN vs AD)")
+                             f"latent_{used}_{args.embed_dim}d.png"),
+                title=f"{used} {args.embed_dim}D (CN vs AD)")
 
     print(json.dumps(report, indent=2))
     if args.out:

@@ -15,6 +15,9 @@ Experiment presets — each maps to ONE exact reference invocation:
                mse_w/kl_w from CLI
   cae        <- main.py:131 --model ResNetCAE
   vae2soft   <- main.py:185-192 VAEtoSoftVAE (VAE pretrain -> warm-start)
+  dp-variant <- main_DataParallel.py:470,617: the DataParallel trainer's
+               loss variant (0.25*expELBO, no x10, scale 1/614400,
+               beta_neg=256, beta_kl=1) on the spatial-150 model
 
 beta_* defaults come from the preset; --beta-rec/--beta-neg/--beta-kl/
 --gamma-r override them (reference exposes these as argparse args too,
@@ -50,11 +53,20 @@ PRESETS = {
                       augment=("affine", 15.0, 0.6), trainer="soft_intro"),
     "z150": dict(model="spatial_150", beta_rec=1.0, beta_neg=1024.0, beta_kl=0.75,
                  augment=None, trainer="soft_intro"),
+    # vae_main.py:53-54 defaults mse_weight=1, kl_weight=1 (NOT the
+    # normal_loss kldw=10 default, which only applies to the val-side call)
     "vae": dict(model="vae_150", augment=("noise", 0.03, 0.5), trainer="vae",
-                mse_w=1.0, kl_w=20.0),
+                mse_w=1.0, kl_w=1.0),
     "cae": dict(model="cae_150", augment=None, trainer="cae"),
     "vae2soft": dict(model="spatial_150", beta_rec=1.0, beta_neg=1024.0, beta_kl=0.75,
                      augment=None, trainer="vae2soft", mse_w=1.0, kl_w=20.0),
+    # main_DataParallel.py:470,617: the DataParallel trainer's loss variant —
+    # expELBO weight 0.25, no x10 multiplier, scale 1/(80*96*80) (:411),
+    # beta_neg=256, beta_kl=1.0, spatial-150 model (:605), batch 16 (:46)
+    "dp-variant": dict(model="spatial_150", beta_rec=1.0, beta_neg=256.0,
+                       beta_kl=1.0, augment=None, trainer="soft_intro",
+                       exp_elbo_weight=0.25, loss_multiplier=1.0,
+                       scale=1.0 / (80 * 96 * 80)),
 }
 
 
@@ -116,6 +128,10 @@ def main():
     ap.add_argument("--beta-neg", type=float, default=None)
     ap.add_argument("--beta-kl", type=float, default=None)
     ap.add_argument("--gamma-r", type=float, default=None)
+    ap.add_argument("--mse-w", type=float, default=None,
+                    help="VAE trainer mse weight (vae_main.py:53, default 1)")
+    ap.add_argument("--kl-w", type=float, default=None,
+                    help="VAE trainer kl weight (vae_main.py:54, default 1)")
     ap.add_argument("--data-root", default="/data/radiology_datas")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="use N synthetic volumes instead of the dataset")
@@ -168,7 +184,10 @@ def main():
 
     if preset["trainer"] == "vae":
         trainer = VAETrainer(model, cfg, optim_cfg, train_cfg,
-                             mse_w=preset["mse_w"], kl_w=preset["kl_w"],
+                             mse_w=(args.mse_w if args.mse_w is not None
+                                    else preset["mse_w"]),
+                             kl_w=(args.kl_w if args.kl_w is not None
+                                   else preset["kl_w"]),
                              run_dir=run_dir, steps_per_epoch=train.steps_per_epoch,
                              mesh=mesh)
         trainer.fit(train, val, epochs=args.epochs)
@@ -180,7 +199,10 @@ def main():
         beta_neg=(args.beta_neg if args.beta_neg is not None
                   else preset.get("beta_neg", 1024.0)),
         beta_kl=(args.beta_kl if args.beta_kl is not None
-                 else preset.get("beta_kl", 0.75)))
+                 else preset.get("beta_kl", 0.75)),
+        exp_elbo_weight=preset.get("exp_elbo_weight", 0.5),
+        loss_multiplier=preset.get("loss_multiplier", 10.0),
+        scale=preset.get("scale"))
     if args.gamma_r is not None:
         loss_cfg = dataclasses.replace(loss_cfg, gamma_r=args.gamma_r)
 

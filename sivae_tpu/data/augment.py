@@ -33,11 +33,17 @@ def _rotation_matrix(angles: Array) -> Array:
     return rz @ ry @ rx
 
 
-def _affine_resample(vol: Array, matrix: Array) -> Array:
+def _affine_resample(vol: Array, matrix: Array,
+                     translation: Array | None = None) -> Array:
     """Resample vol (D, H, W) through the inverse affine `matrix` (3x3),
-    rotating/scaling about the volume center, trilinear, zero fill."""
+    rotating/scaling about the volume center, trilinear, zero fill.
+
+    `translation` is the FORWARD shift t (voxels): output(x) = input at
+    matrix @ (x - center - t) + center. Golden-tested against
+    scipy.ndimage.affine_transform in tests/test_data.py."""
     d, h, w = vol.shape
     center = jnp.array([(d - 1) / 2.0, (h - 1) / 2.0, (w - 1) / 2.0])
+    shift = center if translation is None else center + translation
     grid = jnp.stack(
         jnp.meshgrid(
             jnp.arange(d, dtype=jnp.float32),
@@ -47,14 +53,14 @@ def _affine_resample(vol: Array, matrix: Array) -> Array:
         ),
         axis=0,
     ).reshape(3, -1)
-    src = matrix @ (grid - center[:, None]) + center[:, None]
+    src = matrix @ (grid - shift[:, None]) + center[:, None]
     out = jax.scipy.ndimage.map_coordinates(vol, list(src), order=1, mode="constant", cval=0.0)
     return out.reshape(d, h, w)
 
 
 def _augment_one(vol: Array, key: jax.Array, degrees: float,
-                 scale_jitter: float, p: float) -> Array:
-    k_apply, k_ang, k_scale = jax.random.split(key, 3)
+                 scale_jitter: float, p: float, translate: float) -> Array:
+    k_apply, k_ang, k_scale, k_tr = jax.random.split(key, 4)
     angles = jax.random.uniform(
         k_ang, (3,), minval=-degrees, maxval=degrees) * (jnp.pi / 180.0)
     scales = 1.0 + jax.random.uniform(
@@ -62,24 +68,35 @@ def _augment_one(vol: Array, key: jax.Array, degrees: float,
     rot = _rotation_matrix(angles)
     # inverse map: output coords -> input coords = R^-1 @ S^-1 (R orthonormal)
     inv = rot.T * (1.0 / scales)[None, :]
-    resampled = _affine_resample(vol, inv)
+    translation = (jax.random.uniform(k_tr, (3,), minval=-translate,
+                                      maxval=translate)
+                   if translate > 0 else None)
+    resampled = _affine_resample(vol, inv, translation)
     apply = jax.random.uniform(k_apply) < p
     return jnp.where(apply, resampled, vol)
 
 
-@functools.partial(jax.jit, static_argnames=("degrees", "scale_jitter", "p"))
+@functools.partial(jax.jit,
+                   static_argnames=("degrees", "scale_jitter", "p", "translate"))
 def random_affine_batch(
     rng: jax.Array,
     voxels: Array,
     degrees: float = 15.0,
     scale_jitter: float = 0.1,
     p: float = 0.6,
+    translate: float = 0.0,
 ) -> Array:
-    """Batch random affine. voxels: (B, D, H, W) or (B, D, H, W, 1)."""
+    """Batch random affine. voxels: (B, D, H, W) or (B, D, H, W, 1).
+
+    translate > 0 adds a per-axis U(-translate, +translate) voxel shift
+    (TorchIO RandomAffine's `translation` option; the reference entry
+    scripts leave it at the 0 default, 600z_main.py:115-135)."""
     squeeze = voxels.ndim == 5
     v = voxels[..., 0] if squeeze else voxels
     keys = jax.random.split(rng, v.shape[0])
-    out = jax.vmap(lambda x, k: _augment_one(x, k, degrees, scale_jitter, p))(v, keys)
+    out = jax.vmap(
+        lambda x, k: _augment_one(x, k, degrees, scale_jitter, p, translate)
+    )(v, keys)
     return out[..., None] if squeeze else out
 
 

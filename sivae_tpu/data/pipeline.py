@@ -164,12 +164,24 @@ class DataPipeline:
             # trainer's panel path takes only the first batch). Unblock a
             # producer mid-put, then join so no thread outlives the epoch.
             stop.set()
-            while True:
-                try:
-                    q.get_nowait()
-                except queue.Empty:
+            for _ in range(3):
+                while True:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
+                t.join(timeout=5.0)
+                if not t.is_alive():
                     break
-            t.join(timeout=5.0)
+            else:
+                # A producer stuck >15s (e.g. device-side augment of one
+                # batch on a loaded host) would otherwise outlive the epoch
+                # silently; make it visible instead.
+                import warnings
+
+                warnings.warn("DataPipeline producer thread did not exit "
+                              "within 15s of epoch teardown; it may still "
+                              "be running", stacklevel=2)
 
     def first_batch(self) -> Tuple[jax.Array, jax.Array]:
         """One batch from epoch 0 with deterministic cleanup of the prefetch

@@ -86,12 +86,18 @@ def logistic_auc(
 
 
 def latent_embedding(z: np.ndarray, method: str = "tsne", n_components: int = 2,
-                     pca_dim: int = 50, seed: int = 0) -> np.ndarray:
+                     pca_dim: int = 50, seed: int = 0,
+                     return_method: bool = False):
     """PCA(50) -> t-SNE/UMAP 2D or 3D map (logistic1.ipynb cells 17-24
     render both dimensionalities).
 
-    umap is optional (not a baked dependency); tsne uses sklearn.
+    umap is optional (not a baked dependency); when it is unavailable the
+    function falls back to t-SNE, WARNS, and — with return_method=True —
+    returns (embedding, method_actually_used) so callers can record which
+    method produced the figure.
     """
+    import warnings
+
     from sklearn.decomposition import PCA
 
     if n_components not in (2, 3):
@@ -103,15 +109,19 @@ def latent_embedding(z: np.ndarray, method: str = "tsne", n_components: int = 2,
         try:
             import umap  # type: ignore
 
-            return umap.UMAP(n_components=n_components,
-                             random_state=seed).fit_transform(x)
+            emb = umap.UMAP(n_components=n_components,
+                            random_state=seed).fit_transform(x)
+            return (emb, "umap") if return_method else emb
         except ImportError:
+            warnings.warn("umap-learn is not installed; falling back to "
+                          "t-SNE for the latent embedding", stacklevel=2)
             method = "tsne"
     from sklearn.manifold import TSNE
 
     perplexity = min(30.0, max(2.0, x.shape[0] / 4.0 - 1.0))
-    return TSNE(n_components=n_components, random_state=seed,
-                perplexity=perplexity).fit_transform(x)
+    emb = TSNE(n_components=n_components, random_state=seed,
+               perplexity=perplexity).fit_transform(x)
+    return (emb, "tsne") if return_method else emb
 
 
 def latent_2d_embedding(z: np.ndarray, method: str = "tsne",

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
@@ -39,7 +40,39 @@ Array = jnp.ndarray
 CONV_OUT = "conv_out"
 CONV_OUT_HI_ENC = "conv_out_hi_enc"
 CONV_OUT_HI_DEC = "conv_out_hi_dec"
+# BatchNorm batch statistics: per-channel (a few hundred floats), i.e. free
+# to save — but NOT saving them makes the remat backward re-run the full
+# fp32 mean/meansq reductions over every conv output it recomputes (~9% of
+# step time in the round-2 xplane profile). Every conv_outs* policy saves
+# them.
+BN_STAT = "bn_stat"
 HI_RES_VOXELS = 200_000  # spatial voxels from which a conv output is "hi"
+
+
+import os
+
+# Pack saved conv outputs whose channel count under-fills the 128-lane
+# registers (C=64 bf16 buffers carry 2x physical padding) into a
+# lane-compact (..., W/f, f*C) view before tagging. The reshape is a
+# row-major bitcast — (w, c) -> (w//f, (w%f)*C + c) has the same linear
+# index — so the packed save stores compact and the unpack is a plain
+# reshape XLA can fuse into consumers, unlike its own standalone
+# HLO-remat decompression copies. Measured on v5e (tools/perf_sweep.py,
+# flagship batch 8): see docs/PERF.md round-3 notes.
+PACK_SAVES = os.environ.get("SIVAE_PACK_SAVES", "1") not in ("0", "false")
+
+
+def _pack_lanes(y: Array):
+    """Return (packed_view, unpack) for a lane-compact save of y."""
+    c, w = y.shape[-1], y.shape[-2]
+    if not PACK_SAVES or c >= 128 or 128 % c != 0:
+        return y, None
+    f = 128 // c
+    if w % f != 0:
+        return y, None
+    shp = y.shape
+    packed = y.reshape(shp[:-2] + (w // f, f * c))
+    return packed, lambda p: p.reshape(shp)
 
 
 def _tag_conv_out(y: Array, scope: str = "enc") -> Array:
@@ -47,9 +80,15 @@ def _tag_conv_out(y: Array, scope: str = "enc") -> Array:
 
     voxels = int(np.prod(y.shape[1:-1]))
     if voxels < HI_RES_VOXELS:
+        # lo-res saves: never pack — XLA leaves them uncompressed (enough
+        # headroom) and forcing pack copies measured SLOWER (4.86 vs 5.14
+        # vol/s when packing all C=64 saves, round 3)
         return checkpoint_name(y, CONV_OUT)
-    return checkpoint_name(
-        y, CONV_OUT_HI_DEC if scope == "dec" else CONV_OUT_HI_ENC)
+    name = CONV_OUT_HI_DEC if scope == "dec" else CONV_OUT_HI_ENC
+    packed, unpack = _pack_lanes(y)
+    if unpack is None:
+        return checkpoint_name(y, name)
+    return unpack(checkpoint_name(packed, name))
 
 # He-normal initialisation — parity with the reference's
 # `nn.init.kaiming_normal_(w, nonlinearity="leaky_relu")` applied to every
@@ -182,6 +221,57 @@ class Conv3d(nn.Module):
         )(x), self.tag_scope)
 
 
+class _BNCore(nn.Module):
+    """Faithful reimplementation of flax nn.BatchNorm (use_fast_variance,
+    force_float32_reductions, same op order => same HLO), plus
+    checkpoint_name tags on the batch mean/var so the conv_outs remat
+    policies SAVE them — without the tags the backward recomputes every
+    train-mode stat reduction over the full-resolution conv outputs.
+    Named "BatchNorm_0" by the wrapper so the param/batch_stats tree is
+    identical to the nn.BatchNorm version (checkpoints interchange)."""
+
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool) -> Array:
+        feature_shape = (x.shape[-1],)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                feature_shape)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               feature_shape)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            mu2 = jnp.mean(xf * xf, axes)
+            var = jnp.maximum(0.0, mu2 - mean * mean)
+            mean = checkpoint_name(mean, BN_STAT)
+            var = checkpoint_name(var, BN_STAT)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        # flax _normalize op order: y = x - mean; mul = rsqrt(var+eps)*scale;
+        # y = y*mul + bias; cast to dtype
+        shape = (1,) * (x.ndim - 1) + feature_shape
+        y = x - mean.reshape(shape)
+        mul = jax.lax.rsqrt(var.reshape(shape) + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones,
+                           feature_shape, self.param_dtype)
+        mul = mul * scale.reshape(shape)
+        y = y * mul
+        bias = self.param("bias", nn.initializers.zeros,
+                          feature_shape, self.param_dtype)
+        y = y + bias.reshape(shape)
+        return jnp.asarray(y, self.dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm over (N, D, H, W) with running stats.
 
@@ -194,13 +284,11 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
+        return _BNCore(
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(x)
+            name="BatchNorm_0",
+        )(x, use_running_average=not train)
 
 
 class ConvBlock(nn.Module):
@@ -300,15 +388,15 @@ def remat_policy_by_name(name: Optional[str]):
         return None
     if name == "conv_outs":
         return jax.checkpoint_policies.save_only_these_names(
-            CONV_OUT, CONV_OUT_HI_ENC, CONV_OUT_HI_DEC)
+            CONV_OUT, CONV_OUT_HI_ENC, CONV_OUT_HI_DEC, BN_STAT)
     if name == "conv_outs_lo":
-        return jax.checkpoint_policies.save_only_these_names(CONV_OUT)
+        return jax.checkpoint_policies.save_only_these_names(CONV_OUT, BN_STAT)
     if name == "conv_outs_no_dec_hi":
         return jax.checkpoint_policies.save_only_these_names(
-            CONV_OUT, CONV_OUT_HI_ENC)
+            CONV_OUT, CONV_OUT_HI_ENC, BN_STAT)
     if name == "conv_outs_no_enc_hi":
         return jax.checkpoint_policies.save_only_these_names(
-            CONV_OUT, CONV_OUT_HI_DEC)
+            CONV_OUT, CONV_OUT_HI_DEC, BN_STAT)
     raise ValueError(f"unknown remat_policy {name!r}")
 
 

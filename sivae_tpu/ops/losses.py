@@ -105,6 +105,19 @@ def normal_loss(
     return mse + kld, mse, kld
 
 
+def localized_loss(
+    x_hat: Array, mu: Array, logvar: Array, localize_loss: Array, x: Array,
+    msew: float = 1.0, kldw: float = 1.0, localizew: float = 1.0,
+) -> Tuple[Array, Array, Array, Array]:
+    """models/lossf.py:26-31 — ELBO plus an externally-supplied per-sample
+    localization term (sum over dim 1, mean over batch). Dead code in the
+    reference (defined, never called); ported for completeness."""
+    mse = mse_loss(x_hat, x) * msew
+    kld = kld_loss(mu, logvar) * kldw
+    loc = jnp.mean(jnp.sum(localize_loss.astype(jnp.float32), axis=1)) * localizew
+    return mse + kld + loc, mse, kld, loc
+
+
 # --- Soft-IntroVAE objectives ----------------------------------------------
 
 

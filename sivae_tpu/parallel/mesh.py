@@ -80,17 +80,45 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data",
     return jax.tree_util.tree_map(put, batch)
 
 
+def _assert_identical_across_processes(state: Any) -> None:
+    """Guard for multi-process replication: every process must hold
+    bit-identical values before they are assembled into one replicated
+    global array (the reference's DDP path would broadcast from rank 0;
+    we verify instead of silently trusting same-seed construction —
+    a checkpoint restored on one host only, or nondeterministic init,
+    would otherwise produce inconsistent replicas with no error)."""
+    import hashlib
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(state):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.extended):
+            leaf = jax.random.key_data(leaf)
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    digest = np.frombuffer(h.digest()[:8], dtype=np.uint64)
+    gathered = np.asarray(multihost_utils.process_allgather(digest))
+    if not (gathered == digest[0]).all():
+        raise ValueError(
+            "replicate_state: train-state checksums differ across processes "
+            f"({gathered.ravel().tolist()}); every process must construct or "
+            "restore the identical state before replication")
+
+
 def replicate_state(state: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (train state) across the mesh.
 
     In multi-process mode the mesh spans non-addressable devices, where
     device_put is rejected; every process holds the identical full value
-    (same seed), so the replicated global array is assembled from the
-    process-local copy instead.
+    (same seed — verified by a cross-process checksum), so the replicated
+    global array is assembled from the process-local copy instead.
     """
     sharding = replicated(mesh)
     if jax.process_count() > 1:
         import jax.numpy as jnp
+
+        _assert_identical_across_processes(state)
 
         def put(x):
             if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.extended):

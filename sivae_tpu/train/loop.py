@@ -132,21 +132,37 @@ class SoftIntroTrainer:
         avg["rmse"] = float(np.sqrt(avg["loss_rec"] / self.n_voxels))
         return avg
 
-    def save_panels(self, pipeline, epoch: int) -> None:
+    def _variables(self):
+        return {"enc": {"params": self.state.enc_params,
+                        "batch_stats": self.state.enc_stats},
+                "dec": {"params": self.state.dec_params,
+                        "batch_stats": self.state.dec_stats}}
+
+    def save_panels(self, pipeline, epoch: int, val_pipeline=None) -> None:
+        """Recon/fake panels from the train batch, and — matching the
+        reference's in-training val panels (my_trainer.py:455-463) — a
+        val-set original/recon panel when a val pipeline is given."""
         vox, _ = pipeline.first_batch()
         (mu, logvar, z, rec), _ = self.model.forward(
-            {"enc": {"params": self.state.enc_params, "batch_stats": self.state.enc_stats},
-             "dec": {"params": self.state.dec_params, "batch_stats": self.state.dec_stats}},
+            self._variables(),
             vox, jax.random.key(epoch), train=False, val_eps=self.train_cfg.val_eps)
         img_dir = os.path.join(self.run_dir, "imgs")
         save_recon_panel(np.asarray(vox), np.asarray(rec),
                          os.path.join(img_dir, f"rec_epoch{epoch}.jpg"))
         fake = self.model.sample_with_noise(
-            {"enc": {"params": self.state.enc_params, "batch_stats": self.state.enc_stats},
-             "dec": {"params": self.state.dec_params, "batch_stats": self.state.dec_stats}},
+            self._variables(),
             jax.random.key(epoch + 1), num_samples=min(8, vox.shape[0]))
         save_recon_panel(np.asarray(vox), np.asarray(fake),
                          os.path.join(img_dir, f"fake_epoch{epoch}.jpg"))
+        if val_pipeline is not None:
+            vvox, _ = val_pipeline.first_batch()
+            (_, _, _, vrec), _ = self.model.forward(
+                self._variables(),
+                vvox, jax.random.key(epoch), train=False,
+                val_eps=self.train_cfg.val_eps)
+            save_recon_panel(
+                np.asarray(vvox), np.asarray(vrec),
+                os.path.join(self.run_dir, "val_imgs", f"val_rec_epoch{epoch}.jpg"))
 
     def fit(self, train_pipeline, val_pipeline=None, epochs: Optional[int] = None,
             verbose: bool = True) -> Dict[str, List[float]]:
@@ -180,7 +196,8 @@ class SoftIntroTrainer:
                 self.ckpt.save(epoch, self.state)
             if tc.log_images_every_epochs and epoch % tc.log_images_every_epochs == 0:
                 try:
-                    self.save_panels(train_pipeline, epoch)
+                    self.save_panels(train_pipeline, epoch,
+                                     val_pipeline=val_pipeline)
                 except Exception as e:  # panels are best-effort observability
                     print(f"[warn] recon panel failed: {e}")
             if verbose:
@@ -359,7 +376,7 @@ class VAETrainer:
         optim_cfg: OptimConfig = OptimConfig(),
         train_cfg: TrainConfig = TrainConfig(),
         mse_w: float = 1.0,
-        kl_w: float = 20.0,
+        kl_w: float = 1.0,  # vae_main.py:54 default (kldw=10 is val-side only)
         run_dir: str = "./runs/vae",
         steps_per_epoch: int = 1,
         mesh=None,

@@ -99,6 +99,7 @@ def make_soft_intro_train_step(
     remat_calls: bool = False,
     remat_calls_policy: str | None = None,
     zero_noise: bool = False,
+    share_phase_d_dropout_keys: bool = True,
 ) -> Callable[[SIVAETrainState, Array], Tuple[SIVAETrainState, Metrics]]:
     """Build the two-phase Soft-IntroVAE step. jit it with donate_argnums=(0,).
 
@@ -108,6 +109,14 @@ def make_soft_intro_train_step(
     zero_noise=True makes the step fully deterministic (noise batch = 0,
     every reparameterize returns mu) — test support for gradient-topology
     parity against the torch reference; never use for real training.
+
+    share_phase_d_dropout_keys=True (default, +3% throughput) reuses phase
+    E's dropout keys for phase D's decode(noise)/decode(z) so XLA can CSE
+    the value-identical forwards. The reference redraws masks per forward
+    (my_trainer.py:297-298); sharing correlates the E/D mask pairing within
+    one step (each phase's dropout-gradient estimator is unchanged in
+    distribution) — a documented training-semantics deviation
+    (docs/COVERAGE.md). Set False for strict-parity mask scheduling.
     """
 
     scale = loss_cfg.resolved_scale(input_shape)
@@ -186,18 +195,22 @@ def make_soft_intro_train_step(
         def lossD_fn(dec_params):
             dv = {"params": dec_params, "batch_stats": dec_stats}
             ev = {"params": enc_params, "batch_stats": enc_stats}
-            # Dropout keys deliberately REUSE phase E's dkeys[0]/dkeys[2]:
-            # decoder params are unchanged between the phases (optE touches
-            # only the encoder) and train-mode BN normalizes by batch stats,
-            # so with equal masks these two forwards are value-identical to
-            # phase E's decode(noise)/decode(z) and XLA CSEs the whole
-            # subgraphs (~6% step time). The reference redraws masks
-            # (fresh eager forwards, my_trainer.py:297-298); sharing them
-            # within one step only correlates the E/D mask pairing — each
-            # phase's dropout-gradient estimator is unchanged in
-            # distribution.
-            fake, dv = model.decode(dv, noise, train=True, dropout_rng=dkeys[0])
-            rec, dv = model.decode(dv, z, train=True, dropout_rng=dkeys[2])
+            # Dropout keys (default) deliberately REUSE phase E's
+            # dkeys[0]/dkeys[2]: decoder params are unchanged between the
+            # phases (optE touches only the encoder) and train-mode BN
+            # normalizes by batch stats, so with equal masks these two
+            # forwards are value-identical to phase E's decode(noise)/
+            # decode(z) and XLA CSEs the whole subgraphs (~6% step time).
+            # The reference redraws masks (fresh eager forwards,
+            # my_trainer.py:297-298); sharing them within one step only
+            # correlates the E/D mask pairing — each phase's dropout-
+            # gradient estimator is unchanged in distribution. Documented
+            # deviation (docs/COVERAGE.md); share_phase_d_dropout_keys=False
+            # restores fresh masks (dkeys[7]/dkeys[8] are reserved for it).
+            kd_noise = dkeys[0] if share_phase_d_dropout_keys else dkeys[7]
+            kd_z = dkeys[2] if share_phase_d_dropout_keys else dkeys[8]
+            fake, dv = model.decode(dv, noise, train=True, dropout_rng=kd_noise)
+            rec, dv = model.decode(dv, z, train=True, dropout_rng=kd_z)
 
             loss_rec = calc_reconstruction_loss(real, rec, reduction="mean")
 
@@ -267,13 +280,20 @@ def make_soft_intro_eval_step(
     loss_cfg: SoftIntroLossConfig,
     input_shape: Tuple[int, int, int],
     val_eps: float = 0.1,
+    zero_noise: bool = False,
 ) -> Callable[[SIVAETrainState, Array, jax.Array], Metrics]:
     """Validation pass (reference my_trainer.py:385-439): eval mode
     (running BN stats, no dropout), fixed eps=0.1 for the outer real/recon
     reparam, random eps inside `model.forward` on rec/fake — matching the
-    reference's mixed usage exactly."""
+    reference's mixed usage exactly.
+
+    zero_noise=True zeroes the noise batch and the two random-eps reparams
+    (the fixed val_eps=0.1 ones are untouched) — deterministic test support
+    for the golden-oracle val-loss comparison (tests/test_reference_oracle).
+    """
 
     scale = loss_cfg.resolved_scale(input_shape)
+    eps0 = 0.0 if zero_noise else None
 
     def eval_step(state: SIVAETrainState, real: Array, rng: jax.Array) -> Metrics:
         ev = {"params": state.enc_params, "batch_stats": state.enc_stats}
@@ -281,6 +301,8 @@ def make_soft_intro_eval_step(
         k_noise, k_zrec, k_zfake = jax.random.split(rng, 3)
         b = real.shape[0]
         noise = jax.random.normal(k_noise, (b,) + tuple(model.latent_shape), jnp.float32)
+        if zero_noise:
+            noise = jnp.zeros_like(noise)
 
         # --- encoder-side metrics ---
         fake, _ = model.decode(dv, noise)
@@ -291,10 +313,10 @@ def make_soft_intro_eval_step(
         kl_real = calc_kl(real_logvar, real_mu, reduce="mean")
 
         (rec_mu, rec_logvar), _ = model.encode(ev, rec)
-        z_rec = reparameterize(k_zrec, rec_mu, rec_logvar)  # random eps (forward default)
+        z_rec = reparameterize(k_zrec, rec_mu, rec_logvar, val_eps=eps0)  # random eps (forward default)
         rec_rec, _ = model.decode(dv, z_rec)
         (fake_mu, fake_logvar), _ = model.encode(ev, fake)
-        z_fake = reparameterize(k_zfake, fake_mu, fake_logvar)
+        z_fake = reparameterize(k_zfake, fake_mu, fake_logvar, val_eps=eps0)
         rec_fake, _ = model.decode(dv, z_fake)
 
         fake_kl_e = calc_kl(fake_logvar, fake_mu, reduce="none")

@@ -231,3 +231,49 @@ def test_real_dataset_catalog_to_train_step():
     _, metrics = step(state, vox)
     assert np.isfinite(float(metrics["lossE"]))
     assert np.isfinite(float(metrics["lossD"]))
+
+
+def test_affine_resample_matches_scipy_golden():
+    """Golden-value check of the trilinear affine resampler against
+    scipy.ndimage.affine_transform for fixed rotations/scales/translations
+    (VERDICT r2 weak-#6: a coordinate-convention or inverse-mapping error
+    must not pass). Both sides: order=1, zero fill, center-of-volume pivot."""
+    import scipy.ndimage
+
+    import jax.numpy as jnp
+
+    from sivae_tpu.data.augment import _affine_resample, _rotation_matrix
+
+    rng = np.random.RandomState(3)
+    # structured volume: smooth ramp + off-center box (asymmetric on purpose)
+    d, h, w = 13, 17, 11
+    vol = np.fromfunction(
+        lambda z, y, x: 0.1 * z + 0.05 * y + 0.02 * x, (d, h, w),
+        dtype=np.float32).astype(np.float32)
+    vol[3:6, 9:14, 2:5] += 1.0
+    vol += 0.05 * rng.rand(d, h, w).astype(np.float32)
+    center = np.array([(d - 1) / 2, (h - 1) / 2, (w - 1) / 2])
+
+    cases = [
+        dict(angles=(10.0, -20.0, 5.0), scales=(1.0, 1.0, 1.0), t=(0, 0, 0)),
+        dict(angles=(0.0, 0.0, 0.0), scales=(1.1, 0.9, 1.05), t=(0, 0, 0)),
+        dict(angles=(-15.0, 7.0, 30.0), scales=(0.95, 1.08, 1.0), t=(0, 0, 0)),
+        dict(angles=(8.0, 0.0, -12.0), scales=(1.0, 1.02, 0.97), t=(1.5, -2.0, 0.5)),
+    ]
+    for case in cases:
+        ang = np.deg2rad(np.array(case["angles"], np.float32))
+        rot = np.asarray(_rotation_matrix(jnp.asarray(ang)))
+        inv = rot.T * (1.0 / np.array(case["scales"]))[None, :]
+        t = np.array(case["t"], np.float32)
+        ours = np.asarray(_affine_resample(
+            jnp.asarray(vol), jnp.asarray(inv),
+            jnp.asarray(t) if t.any() else None))
+        # scipy: out(x) = in(matrix @ x + offset)
+        offset = center - inv @ (center + t)
+        # jax map_coordinates' "constant" interpolates partially with
+        # cval at the boundary == scipy's "grid-constant" (not "constant")
+        want = scipy.ndimage.affine_transform(
+            vol, inv, offset=offset, order=1, mode="grid-constant", cval=0.0,
+            prefilter=False)
+        np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-5,
+                                   err_msg=str(case))

@@ -143,3 +143,38 @@ def test_calc_kl_general_matches_standard_at_unit_prior():
     same = calc_kl_general(jnp.array(lv), jnp.array(mu),
                            jnp.array(mu), jnp.array(lv), reduce="mean")
     assert abs(float(same)) < 1e-5
+
+
+def test_localized_loss_matches_reference_formula():
+    """models/lossf.py:26-31: loss = mse*msew + kld*kldw +
+    mean_b(sum_dim1(localize_loss)) * localizew. Golden vs the torch
+    reference implementation when mounted, else the hand formula."""
+    from sivae_tpu.ops.losses import localized_loss
+
+    x = RNG.randn(2, 9).astype(np.float32)
+    xh = RNG.randn(2, 9).astype(np.float32)
+    mu = RNG.randn(2, 4).astype(np.float32)
+    lv = RNG.randn(2, 4).astype(np.float32)
+    loc_in = RNG.randn(2, 3).astype(np.float32)
+    loss, mse, kld, loc = localized_loss(
+        jnp.array(xh), jnp.array(mu), jnp.array(lv), jnp.array(loc_in),
+        jnp.array(x), msew=2.0, kldw=3.0, localizew=0.5)
+    want_loc = loc_in.sum(axis=1).mean() * 0.5
+    np.testing.assert_allclose(float(loc), want_loc, rtol=1e-6)
+    np.testing.assert_allclose(float(loss), float(mse) + float(kld) + want_loc,
+                               rtol=1e-6)
+    try:
+        import sys
+
+        import torch
+
+        sys.path.insert(0, "/root/reference")
+        import models.lossf as ref_lossf
+    except Exception:
+        pytest.skip("torch/reference unavailable for cross-check")
+    t = ref_lossf.localized_loss(
+        torch.tensor(xh), torch.tensor(mu), torch.tensor(lv),
+        torch.tensor(loc_in), torch.tensor(x), msew=2.0, kldw=3.0,
+        localizew=0.5)
+    np.testing.assert_allclose(float(loss), float(t[0]), rtol=1e-5)
+    np.testing.assert_allclose(float(loc), float(t[3]), rtol=1e-5)

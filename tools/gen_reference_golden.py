@@ -1,0 +1,234 @@
+"""Generate golden trajectory data by RUNNING the reference trainer itself.
+
+VERDICT r2 weak-#2: the trajectory-parity oracle was an inline torch
+transcription of utils/my_trainer.py — a transcription error would be
+self-consistent but wrong. This script removes that risk: it imports and
+executes the ACTUAL `train_soft_intro_vae` (reference
+utils/my_trainer.py:147-508) on CPU and records everything our JAX step
+must reproduce:
+
+- per-step train lossE/lossD and val lossE/lossD (>=5 steps),
+- the He-initialized starting weights (produced by the trainer's own
+  seed-77 + init_weights_he path, my_trainer.py:160-174, 202),
+- the final model state_dict (params + BatchNorm running stats),
+- both Adam optimizers' exp_avg / exp_avg_sq moments (captured by
+  monkeypatching torch.optim.Adam — the reference never exposes them).
+
+Setup constraints that come from the reference code itself:
+- input must be 80x96x80: the trainer hardcodes noise (b,1,10,12,10)
+  (my_trainer.py:238) => 3 stride-2 stages; tiny channels keep CPU cost low.
+- loaders must yield batch 8: save_image indexes panels 0..7
+  (my_trainer.py:92-127).
+- single-batch loaders + epochs=N give per-step losses; the reference
+  never resets train_lossE/val_lossE across epochs (my_trainer.py:205 — a
+  real accumulation bug), so per-step values are successive differences of
+  the returned lists.
+- stochasticity zeroed: torch.randn/randn_like return zeros (noise=0,
+  reparameterize eps=0 => z=mu), dropout p=0. The trainer's own seeding
+  still drives the He init, which we snapshot by replaying the identical
+  seed-77 + apply(init_weights_he) sequence before calling it.
+
+Output: tests/golden/reference_oracle.npz (+ .json metadata). Inputs are
+regenerated deterministically by the consuming test (same numpy seed), so
+only a checksum is stored.
+
+Usage: python tools/gen_reference_golden.py  (~10-20 min single-core CPU)
+"""
+
+from __future__ import annotations
+
+import copy
+import hashlib
+import json
+import os
+import random
+import sys
+import tempfile
+import types
+
+os.environ.setdefault("MPLBACKEND", "Agg")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+# Reference model/run config (tiny channels, flagship topology)
+IN_CH = 2
+BLOCK_SETTING = [[2, 1, 2], [2, 1, 2], [2, 2, 2]]
+INPUT_SHAPE = (80, 96, 80)
+BATCH = 8
+STEPS = 5
+BETA_REC, BETA_NEG, BETA_KL = 1.0, 1024.0, 0.75
+DATA_SEED = 123
+
+
+def _stub_module(name: str, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def install_reference_import_stubs():
+    """Deps of utils/my_trainer.py absent from this image (skorch,
+    tune_sklearn) or removed from python 3.12 (asyncore). All are dead
+    imports in the reference (VERDICT/SURVEY: never used)."""
+
+    class _Unused:  # pragma: no cover - never instantiated
+        pass
+
+    if "skorch" not in sys.modules:
+        sk = _stub_module("skorch", NeuralNetClassifier=_Unused)
+        sk.callbacks = _stub_module(
+            "skorch.callbacks", Callback=_Unused, Checkpoint=_Unused,
+            EarlyStopping=_Unused)
+        sk.dataset = _stub_module("skorch.dataset", CVSplit=_Unused)
+    if "tune_sklearn" not in sys.modules:
+        _stub_module("tune_sklearn", TuneSearchCV=_Unused,
+                     TuneGridSearchCV=_Unused)
+    if "asyncore" not in sys.modules:
+        _stub_module("asyncore", loop=_Unused)
+
+
+def make_inputs():
+    import numpy as np
+
+    rng = np.random.RandomState(DATA_SEED)
+    x_train = rng.rand(BATCH, 1, *INPUT_SHAPE).astype(np.float32)
+    x_val = rng.rand(BATCH, 1, *INPUT_SHAPE).astype(np.float32)
+    return x_train, x_val
+
+
+def main():
+    import numpy as np
+    import torch
+
+    install_reference_import_stubs()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import models.models as ref_models  # noqa: E402
+    import utils.my_trainer as mt  # noqa: E402
+
+    # --- zero all stochastic draws (noise batches + reparameterize eps) ---
+    orig_randn, orig_randn_like = torch.randn, torch.randn_like
+
+    def zeros_randn(*args, **kwargs):
+        kwargs.pop("device", None)
+        kwargs.pop("dtype", None)
+        if "size" in kwargs:
+            return torch.zeros(kwargs["size"])
+        return torch.zeros(*args)
+
+    torch.randn = zeros_randn
+    torch.randn_like = lambda t, **kw: torch.zeros_like(t)
+
+    # --- capture the Adam instances the trainer creates internally ---
+    captured = []
+    _Adam = torch.optim.Adam
+
+    class RecordingAdam(_Adam):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            captured.append(self)
+
+    torch.optim.Adam = RecordingAdam
+
+    try:
+        model = ref_models.SoftIntroVAE(IN_CH, copy.deepcopy(BLOCK_SETTING))
+        for m in model.modules():
+            if isinstance(m, torch.nn.Dropout):
+                m.p = 0.0
+
+        # Replay the trainer's exact seeding+init (my_trainer.py:160-174,
+        # 202) so we can snapshot the initial weights; the trainer then
+        # repeats the identical deterministic sequence internally.
+        random.seed(77)
+        np.random.seed(77)
+        torch.manual_seed(77)
+        model.apply(mt.init_weights_he)
+        init_sd = {k: v.detach().clone().numpy()
+                   for k, v in model.state_dict().items()}
+
+        x_train, x_val = make_inputs()
+        labels = torch.zeros(BATCH, dtype=torch.long)
+        train_loader = [(torch.tensor(x_train), labels)]
+        val_loader = [(torch.tensor(x_val), labels)]
+
+        out_dir = tempfile.mkdtemp(prefix="ref_oracle_")
+        for sub in ("imgs", "fakeimgs", "val_imgs", "test1", "prams"):
+            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+        path = out_dir + "/"
+
+        tE, tD, vE, vD = mt.train_soft_intro_vae(
+            model, train_loader, val_loader, epochs=STEPS,
+            device=torch.device("cpu"), path=path,
+            beta_rec=BETA_REC, beta_neg=BETA_NEG, beta_kl=BETA_KL)
+    finally:
+        torch.randn, torch.randn_like = orig_randn, orig_randn_like
+        torch.optim.Adam = _Adam
+
+    # Lists are appended twice per epoch (my_trainer.py:350+492 — known
+    # quirk); dedupe, then undo the no-reset accumulation by differencing.
+    def per_step(lst):
+        acc = np.asarray(lst[::2], dtype=np.float64)
+        assert np.allclose(acc, np.asarray(lst[1::2], dtype=np.float64))
+        return np.diff(np.concatenate([[0.0], acc]))
+
+    lossE, lossD = per_step(tE), per_step(tD)
+    val_lossE, val_lossD = per_step(vE), per_step(vD)
+    final_sd = {k: v.detach().clone().numpy()
+                for k, v in model.state_dict().items()}
+
+    assert len(captured) == 2, f"expected 2 Adam instances, got {len(captured)}"
+    opt_e, opt_d = captured
+
+    def adam_moments(opt, module):
+        out = {}
+        names = [n for n, _ in module.named_parameters()]
+        params = opt.param_groups[0]["params"]
+        assert len(names) == len(params)
+        for name, p in zip(names, params):
+            st = opt.state[p]
+            out[f"{name}.exp_avg"] = st["exp_avg"].numpy()
+            out[f"{name}.exp_avg_sq"] = st["exp_avg_sq"].numpy()
+            out[f"{name}.step"] = np.asarray(float(st["step"]))
+        return out
+
+    arrays = {"lossE": lossE, "lossD": lossD,
+              "val_lossE": val_lossE, "val_lossD": val_lossD}
+    for k, v in init_sd.items():
+        arrays[f"init/{k}"] = v
+    for k, v in final_sd.items():
+        arrays[f"final/{k}"] = v
+    for k, v in adam_moments(opt_e, model.encoder).items():
+        arrays[f"adam_e/{k}"] = v
+    for k, v in adam_moments(opt_d, model.decoder).items():
+        arrays[f"adam_d/{k}"] = v
+
+    golden_dir = os.path.join(REPO, "tests", "golden")
+    os.makedirs(golden_dir, exist_ok=True)
+    npz_path = os.path.join(golden_dir, "reference_oracle.npz")
+    np.savez_compressed(npz_path, **arrays)
+    meta = {
+        "generator": "tools/gen_reference_golden.py",
+        "reference_fn": "utils/my_trainer.py:train_soft_intro_vae",
+        "torch_version": torch.__version__,
+        "in_ch": IN_CH, "block_setting": BLOCK_SETTING,
+        "input_shape": list(INPUT_SHAPE), "batch": BATCH, "steps": STEPS,
+        "beta_rec": BETA_REC, "beta_neg": BETA_NEG, "beta_kl": BETA_KL,
+        "data_seed": DATA_SEED,
+        "x_train_sha256": hashlib.sha256(x_train.tobytes()).hexdigest(),
+        "x_val_sha256": hashlib.sha256(x_val.tobytes()).hexdigest(),
+        "lossE": lossE.tolist(), "lossD": lossD.tolist(),
+        "val_lossE": val_lossE.tolist(), "val_lossD": val_lossD.tolist(),
+    }
+    with open(os.path.join(golden_dir, "reference_oracle.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps({"lossE": lossE.tolist(), "lossD": lossD.tolist(),
+                      "val_lossE": val_lossE.tolist(),
+                      "val_lossD": val_lossD.tolist(),
+                      "npz": npz_path}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
