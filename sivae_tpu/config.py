@@ -90,6 +90,13 @@ class SpatialVAEConfig:
     logvar_clip: Optional[Tuple[float, float]] = (-30.0, 20.0)
     # route 3x3x3 stride-1 convs through the Pallas implicit-GEMM kernel
     use_pallas_conv: bool = False
+    # route the two 1-channel-sided 3x3x3 convs (decoder tail C->1, encoder
+    # stem 1->C) through the Pallas VPU stencil kernels
+    # (kernels/conv3d_small.py): an MXU conv with a 1-channel side uses
+    # 1/128 of the systolic array and these were ~20% of the flagship step
+    # (docs/PERF.md round 3). "auto" = on iff running on TPU (CPU tests and
+    # the virtual-device dryrun keep the XLA path).
+    use_pallas_small_ch: Any = "auto"
     # exact algebraic fusion of nearest-upsample(2)+conv in decoder UpBlocks
     # (27 -> 8 taps per output voxel; no 8x intermediate tensor)
     fuse_upconv: bool = True

@@ -55,11 +55,12 @@ import os
 # registers (C=64 bf16 buffers carry 2x physical padding) into a
 # lane-compact (..., W/f, f*C) view before tagging. The reshape is a
 # row-major bitcast — (w, c) -> (w//f, (w%f)*C + c) has the same linear
-# index — so the packed save stores compact and the unpack is a plain
-# reshape XLA can fuse into consumers, unlike its own standalone
-# HLO-remat decompression copies. Measured on v5e (tools/perf_sweep.py,
-# flagship batch 8): see docs/PERF.md round-3 notes.
-PACK_SAVES = os.environ.get("SIVAE_PACK_SAVES", "1") not in ("0", "false")
+# index. MEASURED NEGATIVE on v5e (tools/perf_sweep.py, flagship batch 8,
+# round 3): packing all C=64 saves 4.86 vol/s, hi-res-only 5.04, vs 5.23
+# unpacked — XLA's own compression scheduling beats explicit pack copies —
+# and the packed save-all program reproducibly fails TPU compilation.
+# Kept off by default as a documented negative result (docs/PERF.md).
+PACK_SAVES = os.environ.get("SIVAE_PACK_SAVES", "0") not in ("0", "false")
 
 
 def _pack_lanes(y: Array):
@@ -160,6 +161,65 @@ class _PallasConvCore(nn.Module):
         return _tag_conv_out(y, self.tag_scope)
 
 
+def resolve_small_ch(flag: Any) -> bool:
+    """Resolve SpatialVAEConfig.use_pallas_small_ch ("auto" => TPU only)."""
+    if flag == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(flag)
+
+
+class _PallasSmallOutCore(nn.Module):
+    """3x3x3 SAME conv to ONE output channel via the Pallas VPU stencil
+    (kernels/conv3d_small.py). Named "Conv_0" by the caller so the param
+    tree matches the nn.Conv path (checkpoints interchange freely)."""
+
+    use_bias: bool
+    kernel_init: Any
+    dtype: Any
+    param_dtype: Any
+    tag_scope: str = "dec"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from sivae_tpu.kernels.conv3d_small import conv3d_to1
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, 3, x.shape[-1], 1), self.param_dtype)
+        interp = jax.default_backend() != "tpu"
+        y = conv3d_to1(x.astype(self.dtype), kernel.astype(self.dtype), interp)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (1,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return _tag_conv_out(y, self.tag_scope)
+
+
+class _PallasSmallInCore(nn.Module):
+    """3x3x3 SAME conv from ONE input channel via the Pallas VPU stencil.
+    Named "Conv_0" by the caller (param tree matches nn.Conv)."""
+
+    features: int
+    use_bias: bool
+    kernel_init: Any
+    dtype: Any
+    param_dtype: Any
+    tag_scope: str = "enc"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from sivae_tpu.kernels.conv3d_small import conv3d_from1
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, 3, 1, self.features), self.param_dtype)
+        interp = jax.default_backend() != "tpu"
+        y = conv3d_from1(x.astype(self.dtype), kernel.astype(self.dtype), interp)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return _tag_conv_out(y, self.tag_scope)
+
+
 class _FusedUpConvCore(nn.Module):
     """upsample_nearest(2) + 3x3x3 SAME conv as 8 parity convs (exact,
     2.4x fewer FLOPs, no 8x intermediate — see ops/fused_upconv.py).
@@ -198,11 +258,29 @@ class Conv3d(nn.Module):
     param_dtype: Any = jnp.float32
     zero_init: bool = False
     use_pallas: bool = False
+    use_pallas_small: bool = False
     tag_scope: str = "enc"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         init = nn.initializers.zeros if self.zero_init else he_normal
+        if self.use_pallas_small and self.kernel_size == (3, 3, 3):
+            from sivae_tpu.kernels.conv3d_small import fits_vmem
+
+            c_big = max(x.shape[-1], self.features)
+            ok = fits_vmem(x.shape[2], x.shape[3], c_big,
+                           jnp.dtype(self.dtype).itemsize)
+            if ok and self.features == 1:
+                return _PallasSmallOutCore(
+                    use_bias=self.use_bias, kernel_init=init,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    tag_scope=self.tag_scope, name="Conv_0")(x)
+            if ok and x.shape[-1] == 1 and self.features > 1:
+                return _PallasSmallInCore(
+                    features=self.features, use_bias=self.use_bias,
+                    kernel_init=init, dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    tag_scope=self.tag_scope, name="Conv_0")(x)
         if self.use_pallas and self.kernel_size == (3, 3, 3):
             return _PallasConvCore(
                 features=self.features, use_bias=self.use_bias,
@@ -427,6 +505,7 @@ class ConvBNAct(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_pallas_small: bool = False
     upsample2_fused: bool = False  # prepend nearest-up(2), fused into the conv
     tag_scope: str = "enc"
 
@@ -449,6 +528,7 @@ class ConvBNAct(nn.Module):
         else:
             h = Conv3d(self.out_ch, kernel_size=self.kernel_size,
                        use_bias=self.use_bias, use_pallas=self.use_pallas,
+                       use_pallas_small=self.use_pallas_small,
                        tag_scope=self.tag_scope, **kw)(x)
         h = BatchNorm(**kw)(h, train)
         h = make_act(self.act)(h)

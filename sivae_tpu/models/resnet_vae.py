@@ -32,6 +32,7 @@ from sivae_tpu.models.blocks import (
     UpBlock,
     make_act,
     maybe_remat,
+    resolve_small_ch,
 )
 
 Array = jnp.ndarray
@@ -54,7 +55,9 @@ class SpatialEncoder(nn.Module):
         bkw = dict(use_pallas=cfg.use_pallas_conv, **kw)
         Stem = maybe_remat(ConvBNAct, cfg.remat, cfg.remat_policy)
         Block = maybe_remat(ConvBlock, cfg.remat, cfg.remat_policy)
-        h = Stem(cfg.in_ch, act=cfg.act, dropout=cfg.act.stem_dropout, **bkw)(x, train)
+        h = Stem(cfg.in_ch, act=cfg.act, dropout=cfg.act.stem_dropout,
+                 use_pallas_small=resolve_small_ch(cfg.use_pallas_small_ch),
+                 **bkw)(x, train)
         for c, n, s in cfg.block_setting:
             for i in range(n):
                 stride = s if i == 0 else 1
@@ -102,6 +105,7 @@ class SpatialDecoder(nn.Module):
                 h = Block(out_c, stride, act=cfg.act,
                           fuse_upconv=cfg.fuse_upconv, **bkw)(h, train)
         h = Conv3d(1, use_bias=True, use_pallas=cfg.use_pallas_conv,
+                   use_pallas_small=resolve_small_ch(cfg.use_pallas_small_ch),
                    tag_scope="dec", **kw)(h)
         h = make_act(cfg.act, which="tail")(h)
         if cfg.act.dec_out_dropout > 0.0:

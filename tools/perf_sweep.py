@@ -19,7 +19,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    # name: (model_remat, model_policy, remat_calls, calls_policy)
+    # name: (model_remat, model_policy, remat_calls, calls_policy[, extra])
+    # extra: additional dataclasses.replace overrides on the model config
     "block": (True, None, False, None),
     "block_conv_outs": (True, "conv_outs", False, None),
     "block_conv_outs_no_dec_hi": (True, "conv_outs_no_dec_hi", False, None),
@@ -28,6 +29,10 @@ VARIANTS = {
     "calls": (False, None, True, None),
     "calls_conv_outs": (False, None, True, "conv_outs"),
     "none": (False, None, False, None),
+    # A/B of the small-channel Pallas stencil convs (stem/tail)
+    "block_conv_outs_no_dec_hi_nosmall": (
+        True, "conv_outs_no_dec_hi", False, None,
+        {"use_pallas_small_ch": False}),
 }
 
 
@@ -42,10 +47,12 @@ def run_variant(name: str, batch: int, steps: int, warmup: int):
     from sivae_tpu.train.state import create_train_state
     from sivae_tpu.train.step import make_soft_intro_train_step
 
-    remat, policy, remat_calls, calls_policy = VARIANTS[name]
+    spec = VARIANTS[name]
+    remat, policy, remat_calls, calls_policy = spec[:4]
+    extra = spec[4] if len(spec) > 4 else {}
     cfg = dataclasses.replace(get_model_config("spatial_1200"),
                               dtype=jnp.bfloat16, remat=remat,
-                              remat_policy=policy)
+                              remat_policy=policy, **extra)
     model = make_model(cfg)
     vox, _ = synthetic_brain_batch(batch, cfg.input_shape, seed=0)
     x = preprocess_batch(jax.device_put(vox))
