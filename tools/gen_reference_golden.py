@@ -33,6 +33,17 @@ regenerated deterministically by the consuming test (same numpy seed), so
 only a checksum is stored.
 
 Usage: python tools/gen_reference_golden.py  (~10-20 min single-core CPU)
+
+Sensitivity mode: `--perturb 1e-7` multiplies every He-initialized weight
+by (1 + eps*u), u~U(-1,1), before training and writes
+reference_oracle_perturbed.npz instead. Comparing the perturbed run's
+final state/moments against the unperturbed golden measures the reference
+trainer's OWN chaotic amplification of fp-level noise over the 5 steps —
+the tolerance floor below which cross-framework divergence carries no
+parity signal (torch-vs-XLA conv summation order differs at ~1e-7
+relative, exactly the modeled perturbation). The oracle test adds
+3x this measured per-leaf divergence to its tolerance when the file is
+present (tests/test_reference_oracle.py:_chaos_floor).
 """
 
 from __future__ import annotations
@@ -88,6 +99,16 @@ def install_reference_import_stubs():
                      TuneGridSearchCV=_Unused)
     if "asyncore" not in sys.modules:
         _stub_module("asyncore", loop=_Unused)
+    if "skimage" not in sys.modules:
+        # only used to annotate save_image JPEG panels (my_trainer.py:109-112)
+        # — no effect on training math
+        import numpy as _np
+
+        sk = _stub_module("skimage")
+        sk.metrics = _stub_module(
+            "skimage.metrics",
+            mean_squared_error=lambda a, b: float(_np.mean((_np.asarray(a) - _np.asarray(b)) ** 2)),
+            structural_similarity=lambda a, b, **kw: 0.0)
 
 
 def make_inputs():
@@ -100,8 +121,16 @@ def make_inputs():
 
 
 def main():
+    import argparse
+
     import numpy as np
     import torch
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--perturb", type=float, default=0.0,
+                    help="relative init-weight noise for the sensitivity "
+                         "run (writes reference_oracle_perturbed.npz)")
+    cli = ap.parse_args()
 
     install_reference_import_stubs()
     if REF not in sys.path:
@@ -146,6 +175,13 @@ def main():
         np.random.seed(77)
         torch.manual_seed(77)
         model.apply(mt.init_weights_he)
+        if cli.perturb:
+            prng = np.random.RandomState(2024)
+            with torch.no_grad():
+                for p in model.parameters():
+                    u = torch.tensor(prng.uniform(
+                        -1.0, 1.0, tuple(p.shape)).astype(np.float32))
+                    p.mul_(1.0 + cli.perturb * u)
         init_sd = {k: v.detach().clone().numpy()
                    for k, v in model.state_dict().items()}
 
@@ -188,7 +224,14 @@ def main():
         params = opt.param_groups[0]["params"]
         assert len(names) == len(params)
         for name, p in zip(names, params):
-            st = opt.state[p]
+            st = opt.state.get(p, {})
+            if "exp_avg" not in st:
+                # params that never receive gradients (e.g. the projection
+                # shortcuts models.py:28-35 defines but only uses when
+                # channel counts differ) have no Adam state: moments are 0
+                out[f"{name}.exp_avg"] = np.zeros(tuple(p.shape), np.float32)
+                out[f"{name}.exp_avg_sq"] = np.zeros(tuple(p.shape), np.float32)
+                continue
             out[f"{name}.exp_avg"] = st["exp_avg"].numpy()
             out[f"{name}.exp_avg_sq"] = st["exp_avg_sq"].numpy()
             out[f"{name}.step"] = np.asarray(float(st["step"]))
@@ -207,8 +250,15 @@ def main():
 
     golden_dir = os.path.join(REPO, "tests", "golden")
     os.makedirs(golden_dir, exist_ok=True)
-    npz_path = os.path.join(golden_dir, "reference_oracle.npz")
+    stem = ("reference_oracle_perturbed" if cli.perturb
+            else "reference_oracle")
+    npz_path = os.path.join(golden_dir, stem + ".npz")
     np.savez_compressed(npz_path, **arrays)
+    if cli.perturb:
+        # sensitivity run: only the npz (the canonical meta stays untouched)
+        print(json.dumps({"perturb": cli.perturb, "npz": npz_path,
+                          "lossE": lossE.tolist()}, indent=2))
+        return
     meta = {
         "generator": "tools/gen_reference_golden.py",
         "reference_fn": "utils/my_trainer.py:train_soft_intro_vae",
