@@ -98,11 +98,11 @@ def measure_tpu(batch: int, steps: int, warmup: int):
     return batch * steps / dt, details
 
 
-def measure_encode(batch: int = 16, steps: int = 10, warmup: int = 2) -> float:
-    """Batch encode throughput (volumes/sec) — the CBIR path.
+def measure_encode(batch: int = 16, steps: int = 10, warmup: int = 2):
+    """Batch encode throughput (volumes/sec) + MFU — the CBIR path.
 
     Reference anchor: ~27 volumes/s at batch=1 on a GPU
-    (logistic1.ipynb cell 7, SURVEY §6)."""
+    (logistic1.ipynb cell 7, SURVEY §6). Returns (vps, details)."""
     import dataclasses
 
     import jax
@@ -119,19 +119,45 @@ def measure_encode(batch: int = 16, steps: int = 10, warmup: int = 2) -> float:
     variables = model.init(jax.random.key(0), x[:1])
     enc_vars = variables["enc"]
 
-    @jax.jit
     def enc(x):
         (mu, _), _ = model.encode(enc_vars, x)
         return mu
 
+    compiled = jax.jit(enc).lower(x).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0] if ca else {}
+    flops = float(ca.get("flops", 0.0))
     for _ in range(warmup):
-        mu = enc(x)
+        mu = compiled(x)
     float(jax.device_get(mu[0, 0, 0, 0, 0]))
     t0 = time.perf_counter()
     for _ in range(steps):
-        mu = enc(x)
+        mu = compiled(x)
     float(jax.device_get(mu[0, 0, 0, 0, 0]))
-    return batch * steps / (time.perf_counter() - t0)
+    dt = time.perf_counter() - t0
+    vps = batch * steps / dt
+    return vps, {
+        "batch": batch,
+        "step_ms": round(1000 * dt / steps, 1),
+        "flops_T": round(flops / 1e12, 2),
+        # encode runs no remat, so this IS model-FLOPs MFU
+        "mfu": round(flops / (dt / steps) / V5E_BF16_PEAK_FLOPS, 3),
+    }
+
+
+def sweep_encode(batches=(8, 16, 32, 64), steps: int = 10):
+    """Find the best encode batch (VERDICT r2 next-#8: the north-star
+    metric is train+encode vol/s/chip, BASELINE.json:5)."""
+    table = []
+    best = None
+    for b in batches:
+        vps, details = measure_encode(batch=b, steps=steps)
+        row = {"vps": round(vps, 1), **details}
+        table.append(row)
+        if best is None or vps > best[0]:
+            best = (vps, row)
+    return best[0], best[1], table
 
 
 def measure_torch_cpu_baseline(batch: int = 8, steps: int = 3) -> float:
@@ -273,12 +299,14 @@ def main():
     else:
         baseline, baseline_steps = get_baseline()
     if args.details:
-        encode_vps = measure_encode()
+        encode_vps, encode_best, encode_table = sweep_encode()
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAILS.json"), "w") as f:
             json.dump({
                 "train_volumes_per_sec_per_chip": round(value, 3),
                 "encode_volumes_per_sec_per_chip": round(encode_vps, 3),
+                "encode_best": encode_best,
+                "encode_batch_sweep": encode_table,
                 "torch_cpu_baseline_volumes_per_sec": baseline,
                 "torch_cpu_baseline_steps": baseline_steps,
                 "train_batch": args.batch,

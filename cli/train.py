@@ -123,6 +123,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=500)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--milestones", type=int, nargs="*", default=None,
+                    help="LR x0.1 epoch milestones (reference MultiStepLR "
+                         "milestone 350, my_trainer.py:185-186)")
     ap.add_argument("--beta-rec", type=float, default=None,
                     help="override the preset's beta_rec")
     ap.add_argument("--beta-neg", type=float, default=None)
@@ -143,6 +146,11 @@ def main():
     ap.add_argument("--data-parallel", action="store_true", default=True)
     ap.add_argument("--no-data-parallel", dest="data_parallel", action="store_false")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--keep-checkpoints", type=int, default=3,
+                    help="orbax max_to_keep (raise for checkpoint sweeps)")
+    ap.add_argument("--checkpoint-every", type=int, default=1,
+                    help="checkpoint cadence in epochs (reference saves "
+                         "every epoch, my_trainer.py:476-480)")
     ap.add_argument("--pretrained", default=None,
                     help="torch .pth or orbax dir for warm start")
     args = ap.parse_args()
@@ -168,7 +176,12 @@ def main():
                                        augment_spec=preset.get("augment"))
     model = make_model(cfg)
     optim_cfg = OptimConfig(lr=args.lr)
-    train_cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch, seed=args.seed)
+    if args.milestones is not None:
+        optim_cfg = dataclasses.replace(optim_cfg,
+                                        milestones=tuple(args.milestones))
+    train_cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch,
+                            seed=args.seed,
+                            checkpoint_every_epochs=args.checkpoint_every)
 
     # args snapshot (reference my_args.txt, main.py:152-153)
     with open(os.path.join(run_dir, "args.json"), "w") as f:
@@ -224,7 +237,8 @@ def main():
 
     trainer = SoftIntroTrainer(model, cfg, loss_cfg, optim_cfg, train_cfg,
                                run_dir=run_dir,
-                               steps_per_epoch=train.steps_per_epoch, mesh=mesh)
+                               steps_per_epoch=train.steps_per_epoch, mesh=mesh,
+                               keep_checkpoints=args.keep_checkpoints)
     if args.resume:
         resumed = trainer.try_resume()
         if resumed is not None:

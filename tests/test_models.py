@@ -111,3 +111,43 @@ def test_sample_with_noise():
     y = model.sample_with_noise(variables, jax.random.key(1), num_samples=3)
     assert y.shape == (3,) + cfg.input_shape + (1,)
     assert np.all(np.asarray(y) >= 0.0)  # decoder tail is ReLU
+
+
+def test_custom_batchnorm_bit_identical_to_flax():
+    """blocks.BatchNorm reimplements flax nn.BatchNorm to tag batch stats
+    for the remat save set; it must stay BIT-identical (values, grads,
+    running-stat updates, param tree) to the flax module it replaced."""
+    import flax.linen as nn
+
+    from sivae_tpu.models.blocks import BatchNorm
+
+    class Ref(nn.Module):
+        dtype: object
+
+        @nn.compact
+        def __call__(self, x, train):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype,
+                                param_dtype=jnp.float32)(x)
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 5, 4, 3), dtype)
+        ours, ref = BatchNorm(dtype=dtype), Ref(dtype=dtype)
+        vo = ours.init(jax.random.key(0), x, True)
+        vr = ref.init(jax.random.key(0), x, True)
+        assert (jax.tree_util.tree_structure(vo)
+                == jax.tree_util.tree_structure(vr))
+        yo, mo = ours.apply(vo, x, True, mutable=["batch_stats"])
+        yr, mr = ref.apply(vr, x, True, mutable=["batch_stats"])
+        assert jnp.array_equal(yo, yr)
+        for a, b in zip(jax.tree_util.tree_leaves(mo),
+                        jax.tree_util.tree_leaves(mr)):
+            assert jnp.array_equal(a, b)
+        assert jnp.array_equal(ours.apply(vo, x, False), ref.apply(vr, x, False))
+        g1 = jax.grad(lambda v: jnp.sum(ours.apply(
+            v, x, True, mutable=["batch_stats"])[0].astype(jnp.float32) ** 2))(vo)
+        g2 = jax.grad(lambda v: jnp.sum(ref.apply(
+            v, x, True, mutable=["batch_stats"])[0].astype(jnp.float32) ** 2))(vr)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            assert jnp.array_equal(a, b)

@@ -72,7 +72,10 @@ def capture(variant: str, batch: int, steps: int, out_dir: str) -> str:
 
 def aggregate(out_dir: str, steps: int):
     """Aggregate per-op busy time from the newest .xplane.pb under out_dir."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+    except ImportError:  # proto location varies across tf versions
+        from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
 
     paths = sorted(glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)
@@ -92,11 +95,50 @@ def aggregate(out_dir: str, steps: int):
             ev_names = {i: m.name for i, m in plane.event_metadata.items()}
             for ev in line.events:
                 name = ev_names.get(ev.metadata_id, "?")
-                b = re.sub(r"[.\d]+$", "", name)
+                # names are full HLO strings like
+                # "%fusion.3407 = bf16[...] fusion(...), kind=kOutput, ..."
+                m = re.match(r"%?([a-zA-Z_][\w-]*)", name)
+                b = m.group(1) if m else name[:24]
+                if b == "fusion":
+                    km = re.search(r"kind=k(\w+)", name)
+                    if km:
+                        b = f"fusion.{km.group(1)}"
                 buckets[b] += ev.duration_ps
                 total_ps += ev.duration_ps
     ms = {k: round(v / 1e9 / steps, 1) for k, v in buckets.most_common(12)}
     return ms, round(total_ps / 1e9 / steps, 1)
+
+
+def top_ops(out_dir: str, steps: int, n: int = 25):
+    """Aggregate by individual op (name prefix before ' = '), descending."""
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+    except ImportError:
+        from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
+    xspace = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+    per_op = collections.Counter()
+    shapes = {}
+    for plane in xspace.planes:
+        if "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+            for ev in line.events:
+                name = ev_names.get(ev.metadata_id, "?")
+                op = name.split(" = ")[0]
+                per_op[op] += ev.duration_ps
+                if op not in shapes:
+                    m = re.search(r"= (\S+)", name)
+                    shapes[op] = m.group(1) if m else "?"
+    return [(op, round(ps / 1e9 / steps, 2), shapes.get(op, "?")[:48])
+            for op, ps in per_op.most_common(n)]
 
 
 def main():
