@@ -236,7 +236,7 @@ def _flip_taps(w3: Array) -> Array:
     return jnp.flip(w3, axis=(0, 1, 2))
 
 
-def _wgrad(x5: Array, g5: Array, co: int, ci: int) -> Array:
+def _wgrad(x5: Array, g5: Array) -> Array:
     """dW (3,3,3,ci,co) by XLA correlation over (B, D, H, W) — same
     formulation as kernels/conv3d.py:_bwd (a big-K contraction the MXU
     handles well)."""
@@ -273,7 +273,7 @@ def _to1_bwd(interpret, res, g):
     # dx: correlate the cotangent with tap-flipped weights, broadcast to C
     dx = _small_in_impl(g4.astype(x.dtype), _flip_taps(w[..., 0]).astype(x.dtype),
                         interpret=interpret)
-    dw = _wgrad(x, g, co=1, ci=x.shape[-1]).astype(w.dtype)
+    dw = _wgrad(x, g).astype(w.dtype)
     return dx.astype(x.dtype), dw
 
 
@@ -299,7 +299,7 @@ def _from1_bwd(interpret, res, g):
     x, w = res
     dx4 = _small_out_impl(g.astype(x.dtype), _flip_taps(w[:, :, :, 0, :]).astype(x.dtype),
                           interpret=interpret)
-    dw = _wgrad(x, g, co=w.shape[-1], ci=1).astype(w.dtype)
+    dw = _wgrad(x, g).astype(w.dtype)
     return dx4[..., None].astype(x.dtype), dw
 
 

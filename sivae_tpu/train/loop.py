@@ -65,6 +65,7 @@ class SoftIntroTrainer:
         run_dir: str = "./runs/soft_intro",
         steps_per_epoch: int = 1,
         mesh=None,
+        keep_checkpoints: int = 3,
     ):
         self.model = model
         self.model_cfg = model_cfg
@@ -74,7 +75,8 @@ class SoftIntroTrainer:
         self.mesh = mesh
         os.makedirs(run_dir, exist_ok=True)
         self.logger = MetricsLogger(run_dir)
-        self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"), max_to_keep=3)
+        self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"),
+                                      max_to_keep=keep_checkpoints)
 
         sample = jnp.zeros((1,) + tuple(model_cfg.input_shape) + (1,), jnp.float32)
         self.state = create_train_state(

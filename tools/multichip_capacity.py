@@ -95,15 +95,44 @@ def compile_case(name: str, model_name: str, global_batch: int,
             # per-device-shaped single-chip proxy (see module docstring)
             n = int(np.prod(mesh_shape))
             per_dev_batch = global_batch // mesh_shape[0] if spatial else global_batch // n
-            x = jnp.zeros((per_dev_batch,) + cfg.input_shape + (1,), jnp.float32)
+            if spatial:
+                # hold only this device's DEPTH shard: rebuild the model at
+                # the shard shape so every activation matches what one
+                # device of the real (data, spatial) program holds (GSPMD
+                # halo exchange adds just 2 boundary planes per conv).
+                # Full-D was a mesh[1]-x overestimate that "failed" at
+                # 19.6 GB while the real shard fits easily.
+                d = cfg.input_shape[0] // mesh_shape[1]
+                # round DOWN to the model's total stride so the proxy model
+                # closes (fullsize has 4 stride-2 stages). Activations scale
+                # ~linearly in D, so scale the fit verdict by true_d/d; the
+                # ceil-rounded (48) program was big enough that the chipless
+                # AOT compile helper was OOM-killed.
+                stride = 2 ** sum(1 for b in cfg.block_setting if b[2] == 2)
+                true_d = d
+                d = max(stride, d // stride * stride)
+                result["depth_scale_to_true_shard"] = round(true_d / d, 3)
+                cfg = dataclasses.replace(
+                    cfg, input_shape=(d,) + tuple(cfg.input_shape[1:]))
+                model = make_model(cfg)
+                step_fn = make_soft_intro_train_step(
+                    model, SoftIntroLossConfig(), OptimConfig(), 100,
+                    cfg.input_shape, **step_kwargs)
+                result["note"] = (f"single-chip proxy at per-device batch "
+                                  f"{per_dev_batch}, depth shard {d} "
+                                  "(halo planes excluded: +2 bf16 planes "
+                                  "per sharded conv, ~MBs)")
+            x = jnp.zeros((per_dev_batch,) + tuple(cfg.input_shape) + (1,),
+                          jnp.float32)
             state = create_train_state(
                 model, jax.random.key(0),
                 jnp.zeros((1,) + cfg.input_shape + (1,), jnp.float32),
                 OptimConfig(), steps_per_epoch=100)
             compiled = jax.jit(step_fn, donate_argnums=(0,)).lower(state, x).compile()
-            result["note"] = (f"single-chip proxy at per-device batch "
-                              f"{per_dev_batch}; DP adds only param-sized "
-                              "psum buffers")
+            if not spatial:
+                result["note"] = (f"single-chip proxy at per-device batch "
+                                  f"{per_dev_batch}; DP adds only param-sized "
+                                  "psum buffers")
         else:
             mesh = make_mesh(mesh_shape, axis_names)
             x_sh = (NamedSharding(mesh, P(axis_names[0], axis_names[1]))
