@@ -130,6 +130,10 @@ def main():
     ap.add_argument("--perturb", type=float, default=0.0,
                     help="relative init-weight noise for the sensitivity "
                          "run (writes reference_oracle_perturbed.npz)")
+    ap.add_argument("--perturb-tag", default=None,
+                    help="suffix for extra sensitivity runs (e.g. '1e-6' "
+                         "-> reference_oracle_perturbed_1e-6.npz); default "
+                         "keeps the canonical _perturbed.npz the test reads")
     cli = ap.parse_args()
 
     install_reference_import_stubs()
@@ -252,6 +256,8 @@ def main():
     os.makedirs(golden_dir, exist_ok=True)
     stem = ("reference_oracle_perturbed" if cli.perturb
             else "reference_oracle")
+    if cli.perturb and cli.perturb_tag:
+        stem += f"_{cli.perturb_tag}"
     npz_path = os.path.join(golden_dir, stem + ".npz")
     np.savez_compressed(npz_path, **arrays)
     if cli.perturb:
