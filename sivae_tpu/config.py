@@ -92,11 +92,15 @@ class SpatialVAEConfig:
     use_pallas_conv: bool = False
     # route the two 1-channel-sided 3x3x3 convs (decoder tail C->1, encoder
     # stem 1->C) through the Pallas VPU stencil kernels
-    # (kernels/conv3d_small.py): an MXU conv with a 1-channel side uses
-    # 1/128 of the systolic array and these were ~20% of the flagship step
-    # (docs/PERF.md round 3). "auto" = on iff running on TPU (CPU tests and
-    # the virtual-device dryrun keep the XLA path).
-    use_pallas_small_ch: Any = "auto"
+    # (kernels/conv3d_small.py). Hypothesis was sound (an MXU conv with a
+    # 1-channel side uses 1/128 of the systolic array and these were ~12%
+    # of the flagship step) but the measured A/B at batch 8 is a 12%
+    # REGRESSION (4.62 vs 5.23 vol/s, docs/PERF.md round 3): XLA keeps the
+    # 1-ch-sided convs overlapped with MXU work while the pallas_call is a
+    # serialization point. Kernels + sweep variant kept as the recorded
+    # experiment; default is now OFF ("auto" = on iff on TPU, for re-runs
+    # of the experiment).
+    use_pallas_small_ch: Any = False
     # exact algebraic fusion of nearest-upsample(2)+conv in decoder UpBlocks
     # (27 -> 8 taps per output voxel; no 8x intermediate tensor)
     fuse_upconv: bool = True

@@ -29,10 +29,11 @@ VARIANTS = {
     "calls": (False, None, True, None),
     "calls_conv_outs": (False, None, True, "conv_outs"),
     "none": (False, None, False, None),
-    # A/B of the small-channel Pallas stencil convs (stem/tail)
-    "block_conv_outs_no_dec_hi_nosmall": (
+    # A/B of the small-channel Pallas stencil convs (stem/tail); measured
+    # a 12% REGRESSION at batch 8 (4.62 vs 5.23 vol/s) -> default off
+    "block_conv_outs_no_dec_hi_small": (
         True, "conv_outs_no_dec_hi", False, None,
-        {"use_pallas_small_ch": False}),
+        {"use_pallas_small_ch": True}),
 }
 
 
