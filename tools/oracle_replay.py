@@ -33,6 +33,15 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-fuse-upconv", action="store_true",
+                    help="A/B: run the decoder with materialized "
+                         "upsample+conv instead of the fused op")
+    ap.add_argument("--out", default="/tmp/oracle_ours.npz")
+    cli = ap.parse_args()
+
     from jax.tree_util import keystr, tree_leaves_with_path
 
     from sivae_tpu.config import OptimConfig, SoftIntroLossConfig, SpatialVAEConfig
@@ -51,6 +60,8 @@ def main():
         block_setting=tuple(tuple(b) for b in meta["block_setting"]),
         input_shape=tuple(meta["input_shape"]))
     cfg = dataclasses.replace(cfg, act=cfg.act.with_no_dropout())
+    if cli.no_fuse_upconv:
+        cfg = dataclasses.replace(cfg, fuse_upconv=False)
     model = make_model(cfg)
 
     rng = np.random.RandomState(meta["data_seed"])
@@ -95,7 +106,7 @@ def main():
                        ("adam_d_mu", adam_d.mu), ("adam_d_nu", adam_d.nu)):
         for path, leaf in tree_leaves_with_path(tree):
             arrays[f"{name}/{keystr(path)}"] = np.asarray(leaf)
-    out = "/tmp/oracle_ours.npz"
+    out = cli.out
     np.savez_compressed(out, **arrays)
     print("losses:", losses)
     print("wrote", out)
