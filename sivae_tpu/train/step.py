@@ -31,7 +31,7 @@ replicating the state — XLA then inserts the gradient psums over ICI
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +99,7 @@ def make_soft_intro_train_step(
     remat_calls: bool = False,
     remat_calls_policy: str | None = None,
     zero_noise: bool = False,
+    fixed_noise: Optional[Array] = None,
     share_phase_d_dropout_keys: bool = True,
 ) -> Callable[[SIVAETrainState, Array], Tuple[SIVAETrainState, Metrics]]:
     """Build the two-phase Soft-IntroVAE step. jit it with donate_argnums=(0,).
@@ -109,6 +110,15 @@ def make_soft_intro_train_step(
     zero_noise=True makes the step fully deterministic (noise batch = 0,
     every reparameterize returns mu) — test support for gradient-topology
     parity against the torch reference; never use for real training.
+
+    fixed_noise (a (batch,)+latent_shape constant) replaces the random
+    noise batch while keeping the reparam eps behavior from zero_noise —
+    oracle-parity support: a ZERO noise batch makes the fake-decode path
+    constant per channel, so every BN on it sees batch var = 0 and
+    gradients through it are fp noise amplified by 1/sqrt(bn_eps) per BN
+    layer (measured: torch grad 2.9e3 vs ours 0.7 on the deepest decoder
+    BN beta — framework-specific noise, no parity signal). A fixed
+    NONZERO batch keeps the path non-degenerate and the comparison sharp.
 
     share_phase_d_dropout_keys=True (default, +3% throughput) reuses phase
     E's dropout keys for phase D's decode(noise)/decode(z) so XLA can CSE
@@ -135,7 +145,9 @@ def make_soft_intro_train_step(
         rng_next = dkeys[13]
         b = real.shape[0]
         noise = jax.random.normal(k_noise, (b,) + tuple(model.latent_shape), jnp.float32)
-        if zero_noise:
+        if fixed_noise is not None:
+            noise = jnp.asarray(fixed_noise, jnp.float32).reshape(noise.shape)
+        elif zero_noise:
             noise = jnp.zeros_like(noise)
 
         # ============ Phase E: update encoder ============ (my_trainer.py:241-288)
@@ -281,6 +293,7 @@ def make_soft_intro_eval_step(
     input_shape: Tuple[int, int, int],
     val_eps: float = 0.1,
     zero_noise: bool = False,
+    fixed_noise: Optional[Array] = None,
 ) -> Callable[[SIVAETrainState, Array, jax.Array], Metrics]:
     """Validation pass (reference my_trainer.py:385-439): eval mode
     (running BN stats, no dropout), fixed eps=0.1 for the outer real/recon
@@ -290,6 +303,8 @@ def make_soft_intro_eval_step(
     zero_noise=True zeroes the noise batch and the two random-eps reparams
     (the fixed val_eps=0.1 ones are untouched) — deterministic test support
     for the golden-oracle val-loss comparison (tests/test_reference_oracle).
+    fixed_noise replaces the noise batch with a constant while keeping the
+    zero_noise eps behavior (see make_soft_intro_train_step).
     """
 
     scale = loss_cfg.resolved_scale(input_shape)
@@ -301,7 +316,9 @@ def make_soft_intro_eval_step(
         k_noise, k_zrec, k_zfake = jax.random.split(rng, 3)
         b = real.shape[0]
         noise = jax.random.normal(k_noise, (b,) + tuple(model.latent_shape), jnp.float32)
-        if zero_noise:
+        if fixed_noise is not None:
+            noise = jnp.asarray(fixed_noise, jnp.float32).reshape(noise.shape)
+        elif zero_noise:
             noise = jnp.zeros_like(noise)
 
         # --- encoder-side metrics ---

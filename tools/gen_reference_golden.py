@@ -70,6 +70,7 @@ BATCH = 8
 STEPS = 5
 BETA_REC, BETA_NEG, BETA_KL = 1.0, 1024.0, 0.75
 DATA_SEED = 123
+NOISE_SEED = 2025  # --fixed-noise: seed for the deterministic noise batch
 
 
 def _stub_module(name: str, **attrs):
@@ -134,7 +135,27 @@ def main():
                     help="suffix for extra sensitivity runs (e.g. '1e-6' "
                          "-> reference_oracle_perturbed_1e-6.npz); default "
                          "keeps the canonical _perturbed.npz the test reads")
+    ap.add_argument("--steps", type=int, default=STEPS,
+                    help="optimizer steps (= single-batch epochs). steps=1 "
+                         "writes reference_oracle_s1.npz/.json: after ONE "
+                         "step there is no chaotic amplification, so final "
+                         "params/BN stats/Adam moments can be asserted "
+                         "tightly (the 5-step fixture needs measured-chaos "
+                         "tolerances)")
+    ap.add_argument("--fixed-noise", action="store_true",
+                    help="torch.randn (the decoder noise batch) returns a "
+                         "FIXED seed-2025 tensor instead of zeros; "
+                         "randn_like (reparam eps) stays zero. A zero "
+                         "noise batch makes the fake-decode path constant "
+                         "per channel: every BN on it sees batch var = 0 "
+                         "and gradients through it are fp noise amplified "
+                         "by 1/sqrt(bn_eps) per BN layer — framework-"
+                         "specific garbage that buries the parity signal "
+                         "on decoder-input-side leaves. Fixed nonzero "
+                         "noise keeps the path non-degenerate (used by "
+                         "the s1 golden)")
     cli = ap.parse_args()
+    steps = cli.steps
 
     install_reference_import_stubs()
     if REF not in sys.path:
@@ -152,7 +173,16 @@ def main():
             return torch.zeros(kwargs["size"])
         return torch.zeros(*args)
 
-    torch.randn = zeros_randn
+    def fixed_randn(*args, **kwargs):
+        kwargs.pop("device", None)
+        kwargs.pop("dtype", None)
+        shape = tuple(kwargs["size"]) if "size" in kwargs else tuple(args)
+        # same values on every call (train noise_batch, val viz, val loop
+        # all draw the identical (8,1,10,12,10) shape)
+        vals = np.random.RandomState(NOISE_SEED).randn(*shape)
+        return torch.tensor(vals.astype(np.float32))
+
+    torch.randn = fixed_randn if cli.fixed_noise else zeros_randn
     torch.randn_like = lambda t, **kw: torch.zeros_like(t)
 
     # --- capture the Adam instances the trainer creates internally ---
@@ -167,6 +197,18 @@ def main():
     torch.optim.Adam = RecordingAdam
 
     try:
+        # Seed BEFORE construction: nn.Conv3d ctors draw their bias init
+        # from the global torch RNG, and init_weights_he (my_trainer.py:
+        # 511-514) re-inits only conv WEIGHTS — without this, every
+        # generator process gets different ctor biases and two golden
+        # files are mutually inconsistent (measured: 6 bias leaves, up to
+        # 0.75 abs, between the 5-step and first s1 run). Each golden
+        # stays self-consistent either way (the init snapshot below is
+        # what training actually starts from); seeding here just makes
+        # generator runs reproducible.
+        random.seed(77)
+        np.random.seed(77)
+        torch.manual_seed(77)
         model = ref_models.SoftIntroVAE(IN_CH, copy.deepcopy(BLOCK_SETTING))
         for m in model.modules():
             if isinstance(m, torch.nn.Dropout):
@@ -200,7 +242,7 @@ def main():
         path = out_dir + "/"
 
         tE, tD, vE, vD = mt.train_soft_intro_vae(
-            model, train_loader, val_loader, epochs=STEPS,
+            model, train_loader, val_loader, epochs=steps,
             device=torch.device("cpu"), path=path,
             beta_rec=BETA_REC, beta_neg=BETA_NEG, beta_kl=BETA_KL)
     finally:
@@ -258,6 +300,8 @@ def main():
             else "reference_oracle")
     if cli.perturb and cli.perturb_tag:
         stem += f"_{cli.perturb_tag}"
+    if steps != STEPS:
+        stem += f"_s{steps}"
     npz_path = os.path.join(golden_dir, stem + ".npz")
     np.savez_compressed(npz_path, **arrays)
     if cli.perturb:
@@ -270,15 +314,17 @@ def main():
         "reference_fn": "utils/my_trainer.py:train_soft_intro_vae",
         "torch_version": torch.__version__,
         "in_ch": IN_CH, "block_setting": BLOCK_SETTING,
-        "input_shape": list(INPUT_SHAPE), "batch": BATCH, "steps": STEPS,
+        "input_shape": list(INPUT_SHAPE), "batch": BATCH, "steps": steps,
         "beta_rec": BETA_REC, "beta_neg": BETA_NEG, "beta_kl": BETA_KL,
         "data_seed": DATA_SEED,
+        "noise": ({"kind": "fixed", "seed": NOISE_SEED} if cli.fixed_noise
+                  else {"kind": "zero"}),
         "x_train_sha256": hashlib.sha256(x_train.tobytes()).hexdigest(),
         "x_val_sha256": hashlib.sha256(x_val.tobytes()).hexdigest(),
         "lossE": lossE.tolist(), "lossD": lossD.tolist(),
         "val_lossE": val_lossE.tolist(), "val_lossD": val_lossD.tolist(),
     }
-    with open(os.path.join(golden_dir, "reference_oracle.json"), "w") as f:
+    with open(os.path.join(golden_dir, stem + ".json"), "w") as f:
         json.dump(meta, f, indent=2)
     print(json.dumps({"lossE": lossE.tolist(), "lossD": lossD.tolist(),
                       "val_lossE": val_lossE.tolist(),

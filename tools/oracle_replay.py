@@ -40,6 +40,13 @@ def main():
                     help="A/B: run the decoder with materialized "
                          "upsample+conv instead of the fused op")
     ap.add_argument("--out", default="/tmp/oracle_ours.npz")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override step count (default: meta['steps']; "
+                         "use 1 to calibrate the s1 golden)")
+    ap.add_argument("--stem", default="reference_oracle",
+                    help="golden file stem to replay from (e.g. "
+                         "reference_oracle_s1) — inits, betas and step "
+                         "count all come from that file pair")
     cli = ap.parse_args()
 
     from jax.tree_util import keystr, tree_leaves_with_path
@@ -51,8 +58,8 @@ def main():
     from sivae_tpu.utils.torch_import import import_spatial_soft_intro_vae
 
     golden_dir = os.path.join(REPO, "tests", "golden")
-    data = np.load(os.path.join(golden_dir, "reference_oracle.npz"))
-    with open(os.path.join(golden_dir, "reference_oracle.json")) as f:
+    data = np.load(os.path.join(golden_dir, cli.stem + ".npz"))
+    with open(os.path.join(golden_dir, cli.stem + ".json")) as f:
         meta = json.load(f)
 
     cfg = SpatialVAEConfig(
@@ -85,12 +92,23 @@ def main():
     loss_cfg = SoftIntroLossConfig(
         beta_rec=meta["beta_rec"], beta_neg=meta["beta_neg"],
         beta_kl=meta["beta_kl"])
+    # the golden records how the generator stubbed torch.randn: "zero"
+    # (noise batch = 0) or "fixed" (seeded nonzero batch, torch NCDHW) —
+    # reproduce the identical batch here (reparam eps stays zero either way)
+    noise_meta = meta.get("noise", {"kind": "zero"})
+    fixed = None
+    if noise_meta["kind"] == "fixed":
+        d, h, w = cfg.latent_spatial_shape
+        vals = np.random.RandomState(noise_meta["seed"]).randn(
+            meta["batch"], 1, d, h, w).astype(np.float32)
+        fixed = jnp.asarray(np.moveaxis(vals, 1, -1))
     step = jax.jit(make_soft_intro_train_step(
-        model, loss_cfg, OptimConfig(), 1, cfg.input_shape, zero_noise=True))
+        model, loss_cfg, OptimConfig(), 1, cfg.input_shape, zero_noise=True,
+        fixed_noise=fixed))
 
     xj = jnp.asarray(np.moveaxis(x_train, 1, -1))
     losses = []
-    for i in range(meta["steps"]):
+    for i in range(cli.steps or meta["steps"]):
         state, metrics = step(state, xj)
         losses.append((float(metrics["lossE"]), float(metrics["lossD"])))
         print(f"step {i}: lossE={losses[-1][0]:.6f} lossD={losses[-1][1]:.6f}",
