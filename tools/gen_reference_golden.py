@@ -34,6 +34,13 @@ only a checksum is stored.
 
 Usage: python tools/gen_reference_golden.py  (~10-20 min single-core CPU)
 
+Family mode: `--family fc` drives the ACTUAL utils/trainer_fc.py:
+train_soft_intro_vae (the FC-latent trainer, reference trainer_fc.py:129)
+on a tiny models/mymodel.py SoftIntroVAE instead — vector noise
+randn(b, z_ch) (trainer_fc.py:218), same two-phase scheme. Writes
+reference_oracle_fc*.npz. The input stays 80x96x80 (the fc head
+Linear(forth_ch*5*6*5, 2*z_ch), mymodel.py:125, hardcodes it).
+
 Sensitivity mode: `--perturb 1e-7` multiplies every He-initialized weight
 by (1 + eps*u), u~U(-1,1), before training and writes
 reference_oracle_perturbed.npz instead. Comparing the perturbed run's
@@ -71,6 +78,13 @@ STEPS = 5
 BETA_REC, BETA_NEG, BETA_KL = 1.0, 1024.0, 0.75
 DATA_SEED = 123
 NOISE_SEED = 2025  # --fixed-noise: seed for the deterministic noise batch
+
+# --family fc: the FC-latent family (models/mymodel.py driven by
+# utils/trainer_fc.py). The input must still be 80x96x80 — the fc head is
+# Linear(forth_ch*5*6*5, 2*z_ch) (mymodel.py:125) — so only the channel
+# counts shrink.
+FC_CHANNELS = (2, 2, 2, 2)  # first..forth
+FC_Z_CH = 8
 
 
 def _stub_module(name: str, **attrs):
@@ -142,6 +156,11 @@ def main():
                          "params/BN stats/Adam moments can be asserted "
                          "tightly (the 5-step fixture needs measured-chaos "
                          "tolerances)")
+    ap.add_argument("--family", choices=("spatial", "fc"), default="spatial",
+                    help="spatial: models/models.py + utils/my_trainer.py "
+                         "(flagship). fc: models/mymodel.py + "
+                         "utils/trainer_fc.py (vector-z family; noise is "
+                         "randn(b, z_ch), trainer_fc.py:218)")
     ap.add_argument("--fixed-noise", action="store_true",
                     help="torch.randn (the decoder noise batch) returns a "
                          "FIXED seed-2025 tensor instead of zeros; "
@@ -160,8 +179,12 @@ def main():
     install_reference_import_stubs()
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    import models.models as ref_models  # noqa: E402
-    import utils.my_trainer as mt  # noqa: E402
+    if cli.family == "fc":
+        import models.mymodel as ref_models  # noqa: E402
+        import utils.trainer_fc as mt  # noqa: E402
+    else:
+        import models.models as ref_models  # noqa: E402
+        import utils.my_trainer as mt  # noqa: E402
 
     # --- zero all stochastic draws (noise batches + reparameterize eps) ---
     orig_randn, orig_randn_like = torch.randn, torch.randn_like
@@ -209,7 +232,10 @@ def main():
         random.seed(77)
         np.random.seed(77)
         torch.manual_seed(77)
-        model = ref_models.SoftIntroVAE(IN_CH, copy.deepcopy(BLOCK_SETTING))
+        if cli.family == "fc":
+            model = ref_models.SoftIntroVAE(*FC_CHANNELS, FC_Z_CH)
+        else:
+            model = ref_models.SoftIntroVAE(IN_CH, copy.deepcopy(BLOCK_SETTING))
         for m in model.modules():
             if isinstance(m, torch.nn.Dropout):
                 m.p = 0.0
@@ -298,6 +324,8 @@ def main():
     os.makedirs(golden_dir, exist_ok=True)
     stem = ("reference_oracle_perturbed" if cli.perturb
             else "reference_oracle")
+    if cli.family == "fc":
+        stem += "_fc"
     if cli.perturb and cli.perturb_tag:
         stem += f"_{cli.perturb_tag}"
     if steps != STEPS:
@@ -309,11 +337,17 @@ def main():
         print(json.dumps({"perturb": cli.perturb, "npz": npz_path,
                           "lossE": lossE.tolist()}, indent=2))
         return
+    arch = ({"family": "fc", "fc_channels": list(FC_CHANNELS),
+             "z_ch": FC_Z_CH} if cli.family == "fc"
+            else {"family": "spatial", "in_ch": IN_CH,
+                  "block_setting": BLOCK_SETTING})
     meta = {
         "generator": "tools/gen_reference_golden.py",
-        "reference_fn": "utils/my_trainer.py:train_soft_intro_vae",
+        "reference_fn": (
+            "utils/trainer_fc.py:train_soft_intro_vae" if cli.family == "fc"
+            else "utils/my_trainer.py:train_soft_intro_vae"),
         "torch_version": torch.__version__,
-        "in_ch": IN_CH, "block_setting": BLOCK_SETTING,
+        **arch,
         "input_shape": list(INPUT_SHAPE), "batch": BATCH, "steps": steps,
         "beta_rec": BETA_REC, "beta_neg": BETA_NEG, "beta_kl": BETA_KL,
         "data_seed": DATA_SEED,
