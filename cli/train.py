@@ -38,6 +38,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor an explicit JAX_PLATFORMS env var: some images install a
+# sitecustomize that registers a remote-TPU PJRT plugin and overrides the
+# platform list via jax.config (which takes precedence over the env var),
+# so `JAX_PLATFORMS=cpu python -m cli.train ...` would otherwise still try
+# the remote TPU first — and hang if its relay is unreachable.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 PRESETS = {
     "z1200": dict(model="spatial_1200", beta_rec=1.0, beta_neg=1024.0, beta_kl=0.75,
                   augment=None, trainer="soft_intro"),

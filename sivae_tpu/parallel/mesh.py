@@ -97,12 +97,16 @@ def _assert_identical_across_processes(state: Any) -> None:
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.extended):
             leaf = jax.random.key_data(leaf)
         h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
-    digest = np.frombuffer(h.digest()[:8], dtype=np.uint64)
-    gathered = np.asarray(multihost_utils.process_allgather(digest))
-    if not (gathered == digest[0]).all():
+    # uint32 words: process_allgather round-trips through jnp, which under
+    # the default x64-disabled config silently truncates uint64 to uint32 —
+    # a uint64 digest would then never compare equal to its own gather
+    digest = np.frombuffer(h.digest()[:16], dtype=np.uint32)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(digest)).reshape(-1, digest.size)
+    if not (gathered == digest).all():
         raise ValueError(
             "replicate_state: train-state checksums differ across processes "
-            f"({gathered.ravel().tolist()}); every process must construct or "
+            f"({gathered.tolist()}); every process must construct or "
             "restore the identical state before replication")
 
 
