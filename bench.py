@@ -318,6 +318,12 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--complete-baseline", action="store_true",
+                    help="finish the torch-CPU baseline cache to its "
+                         "steps_target before reporting (each missing step "
+                         "is ~29 min of dedicated single-core CPU; without "
+                         "this flag a partial cache with >=1 step is used "
+                         "as-is and reported via baseline_steps)")
     ap.add_argument("--details", action="store_true",
                     help="also measure encode throughput; write BENCH_DETAILS.json")
     args = ap.parse_args()
@@ -326,6 +332,8 @@ def main():
     if args.skip_baseline:
         baseline, baseline_steps = None, 0
     else:
+        if args.complete_baseline:
+            measure_torch_cpu_baseline(BASELINE_BATCH, BASELINE_STEPS)
         baseline, baseline_steps = get_baseline()
     if args.details:
         encode_vps, encode_best, encode_table = sweep_encode()

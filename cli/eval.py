@@ -23,13 +23,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Honor an explicit JAX_PLATFORMS env var (see cli/train.py: a
-# sitecustomize-registered remote-TPU plugin can override it via
-# jax.config, hanging CPU-intended runs when the TPU relay is down).
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from sivae_tpu.utils.platform import honor_jax_platforms_env
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_jax_platforms_env()
 
 import numpy as np
 

@@ -38,15 +38,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Honor an explicit JAX_PLATFORMS env var: some images install a
-# sitecustomize that registers a remote-TPU PJRT plugin and overrides the
-# platform list via jax.config (which takes precedence over the env var),
-# so `JAX_PLATFORMS=cpu python -m cli.train ...` would otherwise still try
-# the remote TPU first — and hang if its relay is unreachable.
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from sivae_tpu.utils.platform import honor_jax_platforms_env
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_jax_platforms_env()
 
 PRESETS = {
     "z1200": dict(model="spatial_1200", beta_rec=1.0, beta_neg=1024.0, beta_kl=0.75,
@@ -158,9 +152,11 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--keep-checkpoints", type=int, default=3,
                     help="orbax max_to_keep (raise for checkpoint sweeps)")
-    ap.add_argument("--checkpoint-every", type=int, default=1,
-                    help="checkpoint cadence in epochs (reference saves "
-                         "every epoch, my_trainer.py:476-480)")
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    help="checkpoint cadence in epochs (default: each "
+                         "trainer's reference cadence — every epoch for "
+                         "soft-intro, my_trainer.py:476-480; every 10 for "
+                         "vae/cae, my_trainer.py:628)")
     ap.add_argument("--pretrained", default=None,
                     help="torch .pth or orbax dir for warm start")
     args = ap.parse_args()
@@ -191,7 +187,7 @@ def main():
                                         milestones=tuple(args.milestones))
     train_cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch,
                             seed=args.seed,
-                            checkpoint_every_epochs=args.checkpoint_every)
+                            checkpoint_every_epochs=args.checkpoint_every or 1)
 
     # args snapshot (reference my_args.txt, main.py:152-153)
     with open(os.path.join(run_dir, "args.json"), "w") as f:
@@ -201,7 +197,9 @@ def main():
         from sivae_tpu.train.loop import CAETrainer
 
         trainer = CAETrainer(cfg, optim_cfg, train_cfg, run_dir=run_dir,
-                             steps_per_epoch=train.steps_per_epoch, mesh=mesh)
+                             steps_per_epoch=train.steps_per_epoch, mesh=mesh,
+                             keep_checkpoints=args.keep_checkpoints,
+                             checkpoint_every=args.checkpoint_every or 10)
         trainer.fit(train, val, epochs=args.epochs)
         return
 
@@ -212,7 +210,8 @@ def main():
                              kl_w=(args.kl_w if args.kl_w is not None
                                    else preset["kl_w"]),
                              run_dir=run_dir, steps_per_epoch=train.steps_per_epoch,
-                             mesh=mesh)
+                             mesh=mesh, keep_checkpoints=args.keep_checkpoints,
+                             checkpoint_every=args.checkpoint_every or 10)
         trainer.fit(train, val, epochs=args.epochs)
         return
 
@@ -234,7 +233,9 @@ def main():
         vtr = VAETrainer(model, cfg, optim_cfg, train_cfg,
                          mse_w=preset["mse_w"], kl_w=preset["kl_w"],
                          run_dir=os.path.join(run_dir, "vae_stage"),
-                         steps_per_epoch=train.steps_per_epoch, mesh=mesh)
+                         steps_per_epoch=train.steps_per_epoch, mesh=mesh,
+                         keep_checkpoints=args.keep_checkpoints,
+                         checkpoint_every=args.checkpoint_every or 10)
         vtr.fit(train, val, epochs=max(1, args.epochs // 5))
         trainer = SoftIntroTrainer(model, cfg, loss_cfg, optim_cfg, train_cfg,
                                    run_dir=run_dir,

@@ -60,6 +60,10 @@ def _affine_resample(vol: Array, matrix: Array,
 
 def _augment_one(vol: Array, key: jax.Array, degrees: float,
                  scale_jitter: float, p: float, translate: float) -> Array:
+    # NB: split(key, 4) (was 3 before translation support, round 3) changes
+    # the k_apply/k_ang/k_scale streams even at translate=0 — seeded
+    # augmented runs are not draw-for-draw reproducible across that commit
+    # boundary (statistics are unchanged; only the sampled draws moved)
     k_apply, k_ang, k_scale, k_tr = jax.random.split(key, 4)
     angles = jax.random.uniform(
         k_ang, (3,), minval=-degrees, maxval=degrees) * (jnp.pi / 180.0)

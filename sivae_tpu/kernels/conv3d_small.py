@@ -56,6 +56,12 @@ _VMEM_BUDGET = 12 * 2**20
 
 
 def fits_vmem(h: int, w: int, c: int, itemsize: int = 2) -> bool:
+    # the from1 kernel needs a sublane-aligned H tile; without one it would
+    # degenerate to a full-plane unrolled FMA chain whose loop temporaries
+    # (not modeled below) overflow the 16 MB scoped-VMEM stack — reject so
+    # the caller falls back to XLA (_pick_h_tile returns 0 for "no tile")
+    if _pick_h_tile(h, aligned=True) == 0:
+        return False
     lanes = -(-c // 128) * 128 if c > 1 else 128
     plane = (h + 2) * (w + 2) * lanes * itemsize      # padded input scratch
     acc = h * w * lanes * 4                           # f32 accumulator
@@ -72,11 +78,16 @@ def _pick_h_tile(h: int, budget_rows: int = 32, aligned: bool = False) -> int:
     ~<=1 MB so the kernel's scoped VMEM stack stays under the 16 MB limit
     (full-plane unrolled FMA chains overflowed it at (96, 80, 64)).
     aligned=True additionally requires ht % 8 == 0 (or ht == h): the from1
-    kernel's 2D pad loads start at ti*ht in the SUBLANE dim."""
+    kernel's 2D pad loads start at ti*ht in the SUBLANE dim. When no
+    aligned tile exists, a full plane is acceptable only if it is itself
+    within the row budget; otherwise return 0 ("no usable tile" — callers
+    gate on fits_vmem, which rejects such shapes before tracing)."""
     ht = min(h, budget_rows)
     while ht > 1 and (h % ht or (aligned and ht % 8 and ht != h)):
         ht -= 1
-    return max(ht, 1) if (not aligned or ht > 1) else h
+    if not aligned or ht > 1:
+        return max(ht, 1)
+    return h if h <= budget_rows else 0
 
 
 def _small_out_kernel(x_ref, w_ref, out_ref, pad_ref, acc_ref):

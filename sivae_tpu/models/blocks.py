@@ -60,7 +60,8 @@ import os
 # unpacked — XLA's own compression scheduling beats explicit pack copies —
 # and the packed save-all program reproducibly fails TPU compilation.
 # Kept off by default as a documented negative result (docs/PERF.md).
-PACK_SAVES = os.environ.get("SIVAE_PACK_SAVES", "0") not in ("0", "false")
+PACK_SAVES = (os.environ.get("SIVAE_PACK_SAVES", "0").strip().lower()
+              in ("1", "true", "on", "yes"))
 
 
 def _pack_lanes(y: Array):

@@ -217,7 +217,8 @@ class CAETrainer:
 
     def __init__(self, model_cfg, optim_cfg: OptimConfig = OptimConfig(),
                  train_cfg: TrainConfig = TrainConfig(), run_dir: str = "./runs/cae",
-                 steps_per_epoch: int = 1, mesh=None):
+                 steps_per_epoch: int = 1, mesh=None, keep_checkpoints: int = 3,
+                 checkpoint_every: int = 10):
         import dataclasses as _dc
 
         from sivae_tpu.models.resnet_vae import SpatialDecoder, SpatialEncoder
@@ -228,9 +229,11 @@ class CAETrainer:
         self.decoder = SpatialDecoder(model_cfg)
         self.train_cfg = train_cfg
         self.run_dir = run_dir
+        self.checkpoint_every = checkpoint_every
         os.makedirs(run_dir, exist_ok=True)
         self.logger = MetricsLogger(run_dir, csv_columns=["epoch", "train_loss", "val_loss"])
-        self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"), max_to_keep=3)
+        self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"),
+                                      max_to_keep=keep_checkpoints)
         key = jax.random.key(train_cfg.seed)
         x = jnp.zeros((1,) + tuple(model_cfg.input_shape) + (1,), jnp.float32)
         ev = self.encoder.init({"params": key, "dropout": key}, x)
@@ -281,7 +284,7 @@ class CAETrainer:
             self.logger.append(train_loss=train_m["loss"], val_loss=val_loss)
             self.logger.write_epoch(epoch, {"train_loss": train_m["loss"],
                                             "val_loss": val_loss})
-            if epoch % 10 == 0:
+            if epoch % self.checkpoint_every == 0:
                 self.ckpt.save(epoch, self.state)
             if verbose:
                 print(f"Epoch[{epoch + 1}/{epochs}] train_loss:{train_m['loss']:.5f} "
@@ -382,14 +385,18 @@ class VAETrainer:
         run_dir: str = "./runs/vae",
         steps_per_epoch: int = 1,
         mesh=None,
+        keep_checkpoints: int = 3,
+        checkpoint_every: int = 10,  # reference cadence, my_trainer.py:628
     ):
         self.model = model
         self.train_cfg = train_cfg
         self.run_dir = run_dir
+        self.checkpoint_every = checkpoint_every
         os.makedirs(run_dir, exist_ok=True)
         self.logger = MetricsLogger(
             run_dir, csv_columns=["epoch", "train_loss", "val_loss"])
-        self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"), max_to_keep=3)
+        self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"),
+                                      max_to_keep=keep_checkpoints)
         sample = jnp.zeros((1,) + tuple(model_cfg.input_shape) + (1,), jnp.float32)
         self.state = create_train_state(
             model, jax.random.key(train_cfg.seed), sample, optim_cfg,
@@ -431,7 +438,7 @@ class VAETrainer:
             self.logger.write_epoch(epoch, {
                 "train_loss": train_m["loss"], "val_loss": val_m.get("loss", float("nan"))})
             self.logger.write_mse_kl_txt("train_losses.txt", "train_mse", "train_kl")
-            if epoch % 10 == 0:  # reference cadence (my_trainer.py:628)
+            if epoch % self.checkpoint_every == 0:  # default 10 = reference cadence (my_trainer.py:628)
                 self.ckpt.save(epoch, self.state)
             if verbose:
                 print(f"Epoch[{epoch + 1}/{epochs}] "

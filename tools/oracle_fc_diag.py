@@ -14,15 +14,15 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-import jax  # noqa: E402
+from sivae_tpu.utils.platform import force_cpu  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+force_cpu()
+
+import jax  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

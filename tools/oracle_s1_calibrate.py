@@ -16,10 +16,12 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+from sivae_tpu.utils.platform import force_cpu  # noqa: E402
+
+force_cpu()
 
 import numpy as np  # noqa: E402
 
