@@ -312,6 +312,36 @@ def get_baseline() -> tuple:
     return rate, BASELINE_STEPS
 
 
+def probe_backend(timeout_s: float = 300.0) -> None:
+    """Fail fast if the accelerator backend is unreachable.
+
+    Under the remote-attach TPU backend, a relay outage makes
+    jax.devices() either raise Unavailable or hang indefinitely during
+    backend init; an in-process hang would stall the whole benchmark
+    run. Probe device enumeration in a subprocess with a hard timeout
+    (generous: a healthy cold init is seconds, first-ever init tens of
+    seconds) and exit nonzero with a diagnosis instead of hanging."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "from sivae_tpu.utils.platform import honor_jax_platforms_env;"
+             "honor_jax_platforms_env();"
+             "import jax; print(jax.devices())"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        print(f"bench: backend init did not respond within {timeout_s:.0f}s "
+              "(TPU relay down?) — aborting instead of hanging",
+              file=sys.stderr)
+        sys.exit(2)
+    if r.returncode != 0:
+        print("bench: backend init failed:\n" + r.stderr[-2000:],
+              file=sys.stderr)
+        sys.exit(2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -328,6 +358,10 @@ def main():
                     help="also measure encode throughput; write BENCH_DETAILS.json")
     args = ap.parse_args()
 
+    from sivae_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    probe_backend()
     value, details = measure_tpu(args.batch, args.steps, args.warmup)
     if args.skip_baseline:
         baseline, baseline_steps = None, 0

@@ -54,3 +54,12 @@ def test_metrics_logger_files(tmp_path):
     assert "kls_real==0.1" in kl_txt and "rec_errs==0.4" in kl_txt
     jsonl = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
     assert len(jsonl) == 1
+
+
+def test_bench_backend_probe_cpu():
+    """bench.probe_backend must pass quickly on a healthy CPU backend
+    (and exit(2) instead of hanging when the backend is unreachable —
+    exercised manually against the downed TPU relay, not in CI)."""
+    import bench
+
+    bench.probe_backend(timeout_s=120)
