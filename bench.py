@@ -128,7 +128,8 @@ def measure_encode(batch: int = 16, steps: int = 10, warmup: int = 2):
     if isinstance(ca, list):
         ca = ca[0] if ca else {}
     flops = float(ca.get("flops", 0.0))
-    for _ in range(warmup):
+    mu = compiled(x)  # always run once so the sync below has a value
+    for _ in range(max(0, warmup - 1)):
         mu = compiled(x)
     float(jax.device_get(mu[0, 0, 0, 0, 0]))
     t0 = time.perf_counter()
@@ -312,34 +313,52 @@ def get_baseline() -> tuple:
     return rate, BASELINE_STEPS
 
 
-def probe_backend(timeout_s: float = 300.0) -> None:
-    """Fail fast if the accelerator backend is unreachable.
+def probe_backend(probe_timeout_s: float = 240.0,
+                  retry_window_s: float = 1800.0,
+                  retry_interval_s: float = 60.0) -> None:
+    """Fail fast (eventually) if the accelerator backend is unreachable.
 
     Under the remote-attach TPU backend, a relay outage makes
     jax.devices() either raise Unavailable or hang indefinitely during
     backend init; an in-process hang would stall the whole benchmark
     run. Probe device enumeration in a subprocess with a hard timeout
     (generous: a healthy cold init is seconds, first-ever init tens of
-    seconds) and exit nonzero with a diagnosis instead of hanging."""
+    seconds). Relay outages are usually transient (observed recoveries
+    within ~40 min), so a failed probe is retried every
+    `retry_interval_s` for up to `retry_window_s` before exiting 2 —
+    a single-probe fail-fast turned one transient outage into a lost
+    benchmark round (round 3)."""
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "from sivae_tpu.utils.platform import honor_jax_platforms_env;"
-             "honor_jax_platforms_env();"
-             "import jax; print(jax.devices())"],
-            capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        print(f"bench: backend init did not respond within {timeout_s:.0f}s "
-              "(TPU relay down?) — aborting instead of hanging",
-              file=sys.stderr)
-        sys.exit(2)
-    if r.returncode != 0:
-        print("bench: backend init failed:\n" + r.stderr[-2000:],
-              file=sys.stderr)
-        sys.exit(2)
+    deadline = time.monotonic() + retry_window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        diagnosis = None
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "from sivae_tpu.utils.platform import honor_jax_platforms_env;"
+                 "honor_jax_platforms_env();"
+                 "import jax; print(jax.devices())"],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            if r.returncode == 0:
+                return
+            diagnosis = "backend init failed:\n" + r.stderr[-2000:]
+        except subprocess.TimeoutExpired:
+            diagnosis = (f"backend init did not respond within "
+                         f"{probe_timeout_s:.0f}s (TPU relay down?)")
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(f"bench: {diagnosis}\nbench: gave up after {attempt} probes "
+                  f"over {retry_window_s / 60:.0f} min", file=sys.stderr)
+            sys.exit(2)
+        print(f"bench: probe {attempt} failed ({diagnosis.splitlines()[0]}); "
+              f"retrying in {retry_interval_s:.0f}s "
+              f"({remaining / 60:.0f} min left in retry window)",
+              file=sys.stderr, flush=True)
+        time.sleep(retry_interval_s)
 
 
 def main():

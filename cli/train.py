@@ -152,7 +152,13 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--keep-checkpoints", type=int, default=3,
                     help="orbax max_to_keep (raise for checkpoint sweeps)")
-    ap.add_argument("--checkpoint-every", type=int, default=None,
+    def positive_int(s):
+        v = int(s)
+        if v <= 0:
+            raise argparse.ArgumentTypeError(f"must be a positive int, got {v}")
+        return v
+
+    ap.add_argument("--checkpoint-every", type=positive_int, default=None,
                     help="checkpoint cadence in epochs (default: each "
                          "trainer's reference cadence — every epoch for "
                          "soft-intro, my_trainer.py:476-480; every 10 for "
@@ -187,7 +193,8 @@ def main():
                                         milestones=tuple(args.milestones))
     train_cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch,
                             seed=args.seed,
-                            checkpoint_every_epochs=args.checkpoint_every or 1)
+                            checkpoint_every_epochs=(args.checkpoint_every
+                                                     if args.checkpoint_every is not None else 1))
 
     # args snapshot (reference my_args.txt, main.py:152-153)
     with open(os.path.join(run_dir, "args.json"), "w") as f:
@@ -199,7 +206,8 @@ def main():
         trainer = CAETrainer(cfg, optim_cfg, train_cfg, run_dir=run_dir,
                              steps_per_epoch=train.steps_per_epoch, mesh=mesh,
                              keep_checkpoints=args.keep_checkpoints,
-                             checkpoint_every=args.checkpoint_every or 10)
+                             checkpoint_every=(args.checkpoint_every
+                                               if args.checkpoint_every is not None else 10))
         trainer.fit(train, val, epochs=args.epochs)
         return
 
@@ -211,7 +219,8 @@ def main():
                                    else preset["kl_w"]),
                              run_dir=run_dir, steps_per_epoch=train.steps_per_epoch,
                              mesh=mesh, keep_checkpoints=args.keep_checkpoints,
-                             checkpoint_every=args.checkpoint_every or 10)
+                             checkpoint_every=(args.checkpoint_every
+                                               if args.checkpoint_every is not None else 10))
         trainer.fit(train, val, epochs=args.epochs)
         return
 
@@ -235,7 +244,8 @@ def main():
                          run_dir=os.path.join(run_dir, "vae_stage"),
                          steps_per_epoch=train.steps_per_epoch, mesh=mesh,
                          keep_checkpoints=args.keep_checkpoints,
-                         checkpoint_every=args.checkpoint_every or 10)
+                         checkpoint_every=(args.checkpoint_every
+                                               if args.checkpoint_every is not None else 10))
         vtr.fit(train, val, epochs=max(1, args.epochs // 5))
         trainer = SoftIntroTrainer(model, cfg, loss_cfg, optim_cfg, train_cfg,
                                    run_dir=run_dir,

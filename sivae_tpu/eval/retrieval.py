@@ -38,8 +38,16 @@ def retrieval_precision_at_k(
     k: int = 10,
     exclude_self: bool = False,
 ) -> float:
-    """Mean fraction of the top-k neighbours sharing the query's label."""
+    """Mean fraction of the top-k neighbours sharing the query's label.
+
+    k is clamped to the database size (minus the query itself when
+    exclude_self) so small galleries report over every neighbour they
+    have instead of crashing top_k."""
     kk = k + 1 if exclude_self else k
+    kk = min(kk, len(db_z))
+    if kk <= (1 if exclude_self else 0):
+        raise ValueError(f"database of {len(db_z)} latents is too small "
+                         f"for retrieval (exclude_self={exclude_self})")
     _, idx = cosine_knn(jnp.asarray(query_z), jnp.asarray(db_z), k=kk)
     idx = np.asarray(idx)
     if exclude_self:

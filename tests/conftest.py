@@ -21,3 +21,25 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# --- test tiers -------------------------------------------------------------
+# `pytest -m quick` is the <3-min lane for every-change runs on the 1-core
+# host; the rest (jitted flagship-shape steps, multihost subprocesses,
+# torch parity) is CI/nightly scale. The oracle modules additionally get
+# `oracle` (they execute /root/reference's torch trainers — 7-50 min each).
+QUICK_MODULES = {
+    "test_losses", "test_data", "test_cli", "test_metrics_eval",
+    "test_utils", "test_cli_e2e",
+}
+ORACLE_MODULES = {"test_reference_oracle", "test_reference_oracle_fc"}
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+        if mod in ORACLE_MODULES:
+            item.add_marker(pytest.mark.oracle)

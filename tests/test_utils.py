@@ -56,10 +56,14 @@ def test_metrics_logger_files(tmp_path):
     assert len(jsonl) == 1
 
 
-def test_bench_backend_probe_cpu():
+def test_bench_backend_probe_cpu(monkeypatch):
     """bench.probe_backend must pass quickly on a healthy CPU backend
-    (and exit(2) instead of hanging when the backend is unreachable —
-    exercised manually against the downed TPU relay, not in CI)."""
+    (and retry then exit(2) when the backend stays unreachable —
+    exercised manually against the downed TPU relay, not in CI).
+    Pin the subprocess probe to CPU: without this, a host carrying the
+    remote-TPU sitecustomize and a downed relay fails the probe even
+    though this test is about the healthy-CPU path."""
     import bench
 
-    bench.probe_backend(timeout_s=120)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    bench.probe_backend(probe_timeout_s=120, retry_window_s=0)
