@@ -190,6 +190,41 @@ def test_pipeline_abandoned_epochs_leak_no_threads():
     assert threading.active_count() <= before + 1
 
 
+def test_brain_data_dict_samples(fake_tree):
+    """Dict-style dataset surface (reference utils/data_class.py:63-92):
+    BrainData over load_data records yields {"voxel", "label", ...} dict
+    samples that feed straight into preprocess + a model encode — the
+    test.py / testshow.ipynb consumption pattern."""
+    import jax.numpy as jnp
+
+    from sivae_tpu.data import BrainData
+
+    records = load_data(kinds=["ADNI2"], classes=["CN", "AD"], root=fake_tree)
+    ds = BrainData(records)
+    assert len(ds) == 5
+    s = ds[0]
+    assert set(s) == {"voxel", "label", "uid", "pid"}
+    assert s["voxel"].shape == (4, 5, 4, 1) and s["voxel"].dtype == np.float32
+    assert s["label"] == CLASS_MAP[records[0]["label"]]
+    # slicing and iteration
+    assert len(ds[1:3]) == 2
+    assert sum(1 for _ in ds) == 5
+    np.testing.assert_array_equal(
+        ds.labels(), [CLASS_MAP[r["label"]] for r in records])
+    # transform ACTUALLY applies (the reference's constructor loop rebinds
+    # the loop variable, making its transform a silent no-op —
+    # data_class.py:76-78; documented deviation)
+    doubled = BrainData(records, transform=lambda v: v * 2.0)
+    np.testing.assert_allclose(doubled[0]["voxel"], s["voxel"] * 2.0)
+
+    # dict samples -> batch arrays -> on-device preprocess (testshow flow;
+    # the encode leg is covered at model scale by test_cli_e2e)
+    vox, labels = ds.as_arrays()
+    assert vox.shape == (5, 4, 5, 4, 1) and labels.shape == (5,)
+    x = preprocess_batch(vox)
+    assert float(jnp.min(x)) >= 0.0 and float(jnp.max(x)) <= 1.0 + 1e-6
+
+
 REAL_ROOT = "/data/radiology_datas"
 
 

@@ -130,3 +130,45 @@ def test_latent_embedding_3d_and_scatter(tmp_path):
 
     with pytest.raises(ValueError):
         latent_embedding(z, n_components=4)
+
+
+def test_run_health_criterion():
+    """Long-run health: best-checkpoint selection + the scale-free drift
+    bound (give back <= drift_frac of the total improvement) committed in
+    sivae_tpu/eval/sweep.py, checked on the committed flagship sweep and
+    on synthetic healthy / collapsed / non-convergent trajectories."""
+    import json
+    import os
+
+    from sivae_tpu.eval.sweep import run_health, select_best_checkpoint
+
+    def rows(rmses, ssim=0.3):
+        return [{"checkpoint": str(i), "rmse": r, "ssim3d": ssim}
+                for i, r in enumerate(rmses)]
+
+    # healthy: converges, drifts back a little (<30% of improvement)
+    h = run_health(rows([0.4, 0.2, 0.1, 0.12, 0.14]))
+    assert h["healthy"] and h["best_checkpoint"] == "2"
+    assert abs(h["drift_given_back_frac"] - 0.04 / 0.3) < 1e-9
+    # collapse: gives back most of the improvement
+    c = run_health(rows([0.4, 0.1, 0.35]))
+    assert not c["healthy"] and c["converged"] and not c["drift_bounded"]
+    # never converged
+    n = run_health(rows([0.2, 0.25, 0.3]))
+    assert not n["healthy"] and not n["converged"]
+    # low-quality best fails the ssim gate
+    q = run_health(rows([0.4, 0.1], ssim=0.05))
+    assert not q["healthy"] and not q["quality_ok"]
+
+    assert select_best_checkpoint(rows([0.3, 0.1, 0.2]))["checkpoint"] == "1"
+
+    # the committed 150-epoch flagship run passes with its health.json
+    run_dir = os.path.join(os.path.dirname(__file__), "..",
+                           "runs_e2e", "z1200_synth_r3")
+    with open(os.path.join(run_dir, "sweep.json")) as f:
+        sweep = json.load(f)
+    live = run_health(sweep)
+    assert live["healthy"]
+    with open(os.path.join(run_dir, "health.json")) as f:
+        committed = json.load(f)
+    assert committed == live
