@@ -193,3 +193,51 @@ def conv3d_v2(x: Array, w: Array, interpret: bool = False) -> Array:
     against XLA's conv and kernels/conv3d.py's v1."""
     y, _, _ = conv3d_fused_stats(x, w, interpret=interpret)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Differentiable conv+stats op (the integration form: BN consumes the
+# fused partials instead of re-reading y from HBM; the activation stays an
+# XLA elementwise fusion on the default-layout Pallas output).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3d_stats(x: Array, w: Array, interpret: bool = False):
+    """y, psum, psumsq = conv3d_stats(x, w): differentiable fused
+    conv + BN-stat partials. s1 = sum_{h,w} y, s2 = sum_{h,w} y^2 per
+    (b, d, co); cotangents flow through all three outputs:
+      dy_total = gy + gs1 + 2*y*gs2   (broadcast over H, W)
+      dx = conv(dy_total, flip(w)^T)  (the v2 Pallas kernel again)
+      dw = correlation(x, dy_total)   (huge-K contraction, XLA)
+    """
+    return conv3d_fused_stats(x, w, interpret=interpret)
+
+
+def _stats_fwd(x, w, interpret):
+    y, s1, s2 = conv3d_fused_stats(x, w, interpret=interpret)
+    return (y, s1, s2), (x, w, y)
+
+
+def _stats_bwd(interpret, res, cots):
+    x, w, y = res
+    gy, gs1, gs2 = cots
+    dy = (gy.astype(jnp.float32)
+          + gs1[:, :, None, None, :]
+          + 2.0 * y.astype(jnp.float32) * gs2[:, :, None, None, :])
+    dy = dy.astype(x.dtype)
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dx, _, _ = conv3d_fused_stats(dy, w_flip.astype(x.dtype),
+                                  interpret=interpret)
+    dw = jax.lax.conv_general_dilated(
+        x.transpose(4, 1, 2, 3, 0),        # (Ci, D, H, W, B)
+        dy.transpose(1, 2, 3, 0, 4),       # (D, H, W, B, Co)
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 2, 3, 0, 4).astype(w.dtype)
+    return dx.astype(x.dtype), dw
+
+
+conv3d_stats.defvjp(_stats_fwd, _stats_bwd)

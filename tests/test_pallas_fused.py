@@ -78,3 +78,34 @@ def test_conv_v2_bf16_close_to_f32_reference():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+def test_conv3d_stats_vjp_matches_xla_autodiff():
+    """Gradients of a scalar built from ALL THREE outputs (y, s1, s2) match
+    XLA autodiff of the same function — the integration form where BN
+    consumes the fused stat partials."""
+    from sivae_tpu.kernels.conv3d_fused import conv3d_stats
+
+    kx, kw_ = jax.random.split(jax.random.key(4))
+    x = jax.random.normal(kx, (1, 4, 6, 6, 4), jnp.float32)
+    w = jax.random.normal(kw_, (3, 3, 3, 4, 6), jnp.float32) * 0.2
+
+    def loss_pallas(x, w):
+        y, s1, s2 = conv3d_stats(x, w, True)
+        return (jnp.sum(y * y) * 0.5 + jnp.sum(jnp.sin(s1))
+                + jnp.sum(jnp.sqrt(s2 + 1.0)))
+
+    def loss_xla(x, w):
+        y = _xla_conv(x, w)
+        s1 = jnp.sum(y, axis=(2, 3))
+        s2 = jnp.sum(y * y, axis=(2, 3))
+        return (jnp.sum(y * y) * 0.5 + jnp.sum(jnp.sin(s1))
+                + jnp.sum(jnp.sqrt(s2 + 1.0)))
+
+    np.testing.assert_allclose(loss_pallas(x, w), loss_xla(x, w), rtol=1e-5)
+    gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(x, w)
+    gx_x, gw_x = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x),
+                               rtol=1e-4, atol=1e-4)

@@ -100,26 +100,63 @@ def main():
         var = jnp.sum(psumsq, axis=(0, 1)) / n - mean * mean
         return y, mean, var
 
+    from sivae_tpu.kernels.conv3d_fused import conv3d_stats
+
+    n_el = b * d * h * wd
+
+    def xla_conv_plain(x, w):
+        # no preferred_element_type: its transpose rule rejects mixed
+        # bf16/f32 operands under autodiff; matches flax nn.Conv's bf16 path
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1, 1),
+            padding=((1, 1), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    def stage_loss_xla(x, w):
+        y = xla_conv_plain(x, w)
+        yf = y.astype(jnp.float32)
+        mean = jnp.sum(yf, axis=(0, 1, 2, 3)) / n_el
+        var = jnp.sum(yf * yf, axis=(0, 1, 2, 3)) / n_el - mean * mean
+        yn = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+        return jnp.sum(jax.nn.leaky_relu(yn, 0.01) ** 2)
+
+    def stage_loss_pallas(x, w):
+        y, s1, s2 = conv3d_stats(x, w, interp)
+        mean = jnp.sum(s1, axis=(0, 1)) / n_el
+        var = jnp.sum(s2, axis=(0, 1)) / n_el - mean * mean
+        yn = (y.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+        return jnp.sum(jax.nn.leaky_relu(yn, 0.01) ** 2)
+
     variants = {
-        "xla_conv": (lambda: jax.jit(xla_conv).lower(x, w)),
+        "xla_conv": (lambda: jax.jit(xla_conv).lower(x, w), (x, w)),
         "pallas_conv_v1": (lambda: jax.jit(
-            lambda x, w: conv3d_same_pallas(x, w, interp)).lower(x, w)),
+            lambda x, w: conv3d_same_pallas(x, w, interp)).lower(x, w),
+            (x, w)),
         "pallas_conv_v2": (lambda: jax.jit(
             lambda x, w: conv3d_fused_stats(x, w, interpret=interp)[0]
-        ).lower(x, w)),
-        "xla_stage": (lambda: jax.jit(xla_stage).lower(x, w, a, bb)),
-        "pallas_stage": (lambda: jax.jit(pallas_stage).lower(x, w, a, bb)),
+        ).lower(x, w), (x, w)),
+        "xla_stage": (lambda: jax.jit(xla_stage).lower(x, w, a, bb),
+                      (x, w, a, bb)),
+        "pallas_stage": (lambda: jax.jit(pallas_stage).lower(x, w, a, bb),
+                         (x, w, a, bb)),
+        # full fwd+bwd through conv -> BN(batch stats) -> act: the
+        # integration-decision number (custom VJP: dgrad re-runs the v2
+        # kernel, wgrad is XLA's huge-K contraction)
+        "xla_stage_grad": (lambda: jax.jit(
+            jax.grad(stage_loss_xla, argnums=(0, 1))).lower(x, w), (x, w)),
+        "pallas_stage_grad": (lambda: jax.jit(
+            jax.grad(stage_loss_pallas, argnums=(0, 1))).lower(x, w),
+            (x, w)),
     }
 
     results = {}
-    print(f"| variant | ms/call | TF/s (conv flops) |")
-    print(f"|---|---|---|")
-    for name, lower in variants.items():
+    print("| variant | ms/call | TF/s (conv flops) |")
+    print("|---|---|---|")
+    for name, (lower, arglist) in variants.items():
         if name in args.skip:
             continue
         try:
             compiled = _compile_with_retry(lower())
-            arglist = ((x, w) if "conv" in name else (x, w, a, bb))
             out = compiled(*arglist)
             first = out[0] if isinstance(out, tuple) else out
             float(jax.device_get(first[0, 0, 0, 0, 0]))
