@@ -294,11 +294,19 @@ def make_soft_intro_eval_step(
     val_eps: float = 0.1,
     zero_noise: bool = False,
     fixed_noise: Optional[Array] = None,
+    val_loss_multiplier: float = 1.0,
 ) -> Callable[[SIVAETrainState, Array, jax.Array], Metrics]:
     """Validation pass (reference my_trainer.py:385-439): eval mode
     (running BN stats, no dropout), fixed eps=0.1 for the outer real/recon
     reparam, random eps inside `model.forward` on rec/fake — matching the
     reference's mixed usage exactly.
+
+    val_loss_multiplier: the spatial trainer's val loop reports the RAW
+    losses (my_trainer.py:411,434 — no x10, unlike its train loop), but
+    the FC trainer's val loop keeps the x10 (trainer_fc.py:374,396) — a
+    reference-side inconsistency. Pass loss_cfg.loss_multiplier to match
+    trainer_fc's val scale (the FC oracle does); default 1.0 matches
+    my_trainer.
 
     zero_noise=True zeroes the noise batch and the two random-eps reparams
     (the fixed val_eps=0.1 ones are untouched) — deterministic test support
@@ -346,7 +354,7 @@ def make_soft_intro_eval_step(
             fake_kl=fake_kl_e, rec_kl=rec_kl_e,
             scale=scale, beta_rec=loss_cfg.beta_rec, beta_neg=loss_cfg.beta_neg,
             beta_kl=loss_cfg.beta_kl, exp_elbo_weight=loss_cfg.exp_elbo_weight,
-            loss_multiplier=1.0,  # reference val lossE has no x10 (:411)
+            loss_multiplier=val_loss_multiplier,  # my_trainer val: 1 (:411)
         )
 
         # --- decoder-side metrics (val uses eps=0.1 reparams, :419-423) ---
@@ -364,7 +372,7 @@ def make_soft_intro_eval_step(
             loss_rec=loss_rec, rec_kl=rec_kl, fake_kl=fake_kl,
             loss_rec_rec=loss_rec_rec2, loss_fake_rec=loss_fake_rec2,
             scale=scale, beta_rec=loss_cfg.beta_rec, beta_kl=loss_cfg.beta_kl,
-            gamma_r=loss_cfg.gamma_r, loss_multiplier=1.0,
+            gamma_r=loss_cfg.gamma_r, loss_multiplier=val_loss_multiplier,
         )
         return {
             "lossE": lossE, "lossD": lossD, "loss_rec": loss_rec,
