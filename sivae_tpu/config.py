@@ -104,6 +104,17 @@ class SpatialVAEConfig:
     # exact algebraic fusion of nearest-upsample(2)+conv in decoder UpBlocks
     # (27 -> 8 taps per output voxel; no 8x intermediate tensor)
     fuse_upconv: bool = True
+    # route qualifying hi-res 3x3x3 stride-1 convs through the fused
+    # conv+BN-stat Pallas megakernel (kernels/conv3d_fused.py): the conv's
+    # BN batch statistics fall out of the kernel as per-(b,d) partials
+    # instead of a separate HBM re-read, and the kernel reads/writes
+    # default-layout arrays (no conv-layout bracketing copies). Only convs
+    # whose output is hi-res (>= HI_RES_VOXELS spatial voxels), bias-free
+    # and VMEM-fitting take this path — on the flagship that is exactly the
+    # encoder block-1 conv1 (bf16[8,80,96,80,64] -> 64), the shape behind
+    # ~97% of the step's layout-copy bytes (docs/PERF.md). Default follows
+    # the round-4 A/B measurement (tools/megakernel_ab.py).
+    use_fused_conv_bn: bool = False
 
     @property
     def latent_spatial_shape(self) -> Tuple[int, int, int]:

@@ -202,24 +202,40 @@ def conv3d_v2(x: Array, w: Array, interpret: bool = False) -> Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def conv3d_stats(x: Array, w: Array, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3d_stats(x: Array, w: Array, interpret: bool = False,
+                 tag: Optional[str] = None):
     """y, psum, psumsq = conv3d_stats(x, w): differentiable fused
     conv + BN-stat partials. s1 = sum_{h,w} y, s2 = sum_{h,w} y^2 per
     (b, d, co); cotangents flow through all three outputs:
       dy_total = gy + gs1 + 2*y*gs2   (broadcast over H, W)
       dx = conv(dy_total, flip(w)^T)  (the v2 Pallas kernel again)
       dw = correlation(x, dy_total)   (huge-K contraction, XLA)
+
+    `tag` applies jax.ad_checkpoint.checkpoint_name to y INSIDE the
+    custom VJP, so the VJP residual IS the tagged value: a conv_outs-style
+    remat policy that saves the tag spares the backward from re-running
+    the forward kernel. Tagging outside would tag a copy the residual
+    doesn't alias at the jaxpr level.
     """
-    return conv3d_fused_stats(x, w, interpret=interpret)
-
-
-def _stats_fwd(x, w, interpret):
     y, s1, s2 = conv3d_fused_stats(x, w, interpret=interpret)
+    if tag is not None:
+        from jax.ad_checkpoint import checkpoint_name
+
+        y = checkpoint_name(y, tag)
+    return y, s1, s2
+
+
+def _stats_fwd(x, w, interpret, tag):
+    y, s1, s2 = conv3d_fused_stats(x, w, interpret=interpret)
+    if tag is not None:
+        from jax.ad_checkpoint import checkpoint_name
+
+        y = checkpoint_name(y, tag)
     return (y, s1, s2), (x, w, y)
 
 
-def _stats_bwd(interpret, res, cots):
+def _stats_bwd(interpret, tag, res, cots):
     x, w, y = res
     gy, gs1, gs2 = cots
     dy = (gy.astype(jnp.float32)

@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpreter mode — CPU smoke test of the "
                          "tool itself, NOT a measurement")
+    ap.add_argument("--check", action="store_true",
+                    help="before timing, compare pallas vs xla stage "
+                         "outputs and grads on the real shape (max |diff|)")
     args = ap.parse_args()
 
     from sivae_tpu.utils.compile_cache import enable_compile_cache
@@ -150,6 +153,25 @@ def main():
     }
 
     results = {}
+    if args.check:
+        # TPU-numerics parity on the real shape (the pytest tier only covers
+        # interpret mode on tiny shapes): fwd outputs + both stage grads
+        import numpy as np
+
+        ys, mys, vys = jax.jit(xla_stage)(x, w, a, bb)
+        yp, myp, vyp = jax.jit(pallas_stage)(x, w, a, bb)
+        gx_x, gw_x = jax.jit(jax.grad(stage_loss_xla, argnums=(0, 1)))(x, w)
+        gx_p, gw_p = jax.jit(jax.grad(stage_loss_pallas, argnums=(0, 1)))(x, w)
+
+        def md(u, v):
+            return float(np.abs(np.asarray(u, np.float32)
+                                - np.asarray(v, np.float32)).max())
+
+        checks = {"y": md(ys, yp), "mean": md(mys, myp), "var": md(vys, vyp),
+                  "gx": md(gx_x, gx_p), "gw": md(gw_x, gw_p),
+                  "gw_scale": float(np.abs(np.asarray(gw_x, np.float32)).max())}
+        results["check_maxdiff"] = checks
+        print("check max|diff|:", json.dumps(checks), flush=True)
     print("| variant | ms/call | TF/s (conv flops) |")
     print("|---|---|---|")
     for name, (lower, arglist) in variants.items():
