@@ -314,7 +314,7 @@ def get_baseline() -> tuple:
 
 
 def probe_backend(probe_timeout_s: float = 240.0,
-                  retry_window_s: float = 1800.0,
+                  retry_window_s: float = None,
                   retry_interval_s: float = 60.0) -> None:
     """Fail fast (eventually) if the accelerator backend is unreachable.
 
@@ -327,9 +327,13 @@ def probe_backend(probe_timeout_s: float = 240.0,
     within ~40 min), so a failed probe is retried every
     `retry_interval_s` for up to `retry_window_s` before exiting 2 —
     a single-probe fail-fast turned one transient outage into a lost
-    benchmark round (round 3)."""
+    benchmark round (round 3). The window defaults to 30 min and can be
+    widened via BENCH_RETRY_WINDOW_S (round-4 outages ran multiple
+    hours, so a caller with wall-clock to spare may want more)."""
     import subprocess
 
+    if retry_window_s is None:
+        retry_window_s = float(os.environ.get("BENCH_RETRY_WINDOW_S", 1800.0))
     deadline = time.monotonic() + retry_window_s
     attempt = 0
     while True:
