@@ -111,8 +111,8 @@ def _fused_kernel(x_ref, w2_ref, a_ref, b_ref, out_ref, psum_ref,
         # BN-stat partials of the ROUNDED output (matches XLA, which
         # reduces the stored bf16 conv output in f32)
         yf = y.astype(jnp.float32)
-        psum_ref[0, 0] = jnp.sum(yf, axis=(0, 1))
-        psumsq_ref[0, 0] = jnp.sum(yf * yf, axis=(0, 1))
+        psum_ref[0, 0, 0] = jnp.sum(yf, axis=(0, 1))
+        psumsq_ref[0, 0, 0] = jnp.sum(yf * yf, axis=(0, 1))
 
 
 def conv3d_fused_stats(
@@ -143,7 +143,7 @@ def conv3d_fused_stats(
     w2 = w.astype(x.dtype).transpose(0, 2, 3, 1, 4).reshape(3, 3 * c, 3 * co)
     kernel = functools.partial(_fused_kernel, slope=slope,
                                in_affine_act=in_affine_act)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, d, 3),
         in_specs=[
@@ -169,15 +169,20 @@ def conv3d_fused_stats(
                 lambda bi, di, ki: (bi, di, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 1, co), lambda bi, di, ki: (bi, di, 0),
+            # Stats partials carry a unit sublane axis so the block's last
+            # two dims (1, co) EQUAL the overall array's — Mosaic requires
+            # last-two block dims divisible by (8, 128) or full-dim.
+            # A (1, 1, co) block over a (b, d, co) array has sublane block
+            # 1 vs overall d and fails to lower on real TPU.
+            pl.BlockSpec((1, 1, 1, co), lambda bi, di, ki: (bi, di, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, co), lambda bi, di, ki: (bi, di, 0),
+            pl.BlockSpec((1, 1, 1, co), lambda bi, di, ki: (bi, di, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, d, h, wd, co), x.dtype),
-            jax.ShapeDtypeStruct((b, d, co), jnp.float32),
-            jax.ShapeDtypeStruct((b, d, co), jnp.float32),
+            jax.ShapeDtypeStruct((b, d, 1, co), jnp.float32),
+            jax.ShapeDtypeStruct((b, d, 1, co), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((h + 2, wd + 2, c), x.dtype),
@@ -186,6 +191,8 @@ def conv3d_fused_stats(
         interpret=interpret,
     )(x, w2, in_a.astype(jnp.float32).reshape(1, c),
       in_b.astype(jnp.float32).reshape(1, c))
+    y, s1, s2 = out
+    return y, s1.reshape(b, d, co), s2.reshape(b, d, co)
 
 
 def conv3d_v2(x: Array, w: Array, interpret: bool = False) -> Array:
