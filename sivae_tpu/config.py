@@ -104,17 +104,12 @@ class SpatialVAEConfig:
     # exact algebraic fusion of nearest-upsample(2)+conv in decoder UpBlocks
     # (27 -> 8 taps per output voxel; no 8x intermediate tensor)
     fuse_upconv: bool = True
-    # route qualifying hi-res 3x3x3 stride-1 convs through the fused
-    # conv+BN-stat Pallas megakernel (kernels/conv3d_fused.py): the conv's
-    # BN batch statistics fall out of the kernel as per-(b,d) partials
-    # instead of a separate HBM re-read, and the kernel reads/writes
-    # default-layout arrays (no conv-layout bracketing copies). Only convs
-    # whose output is hi-res (>= HI_RES_VOXELS spatial voxels), bias-free
-    # and VMEM-fitting take this path — on the flagship that is exactly the
-    # encoder block-1 conv1 (bf16[8,80,96,80,64] -> 64), the shape behind
-    # ~97% of the step's layout-copy bytes (docs/PERF.md). Default follows
-    # the round-4 A/B measurement (tools/megakernel_ab.py).
-    use_fused_conv_bn: bool = False
+    # (round 5) the fused conv+BN-stat Pallas megakernel's model routing
+    # (use_fused_conv_bn) was REMOVED: the TPU A/B it awaited finally ran
+    # and the kernel lost decisively — fused stage 31.0 ms vs XLA 24.0 ms
+    # on the target shape bf16[8,80,96,80,64] (docs/AB_MEGAKERNEL_r05.json,
+    # docs/PERF.md round 5). The kernel stays in kernels/conv3d_fused.py as
+    # the recorded experiment (tools/megakernel_ab.py re-runs it).
 
     @property
     def latent_spatial_shape(self) -> Tuple[int, int, int]:
@@ -197,6 +192,22 @@ class SoftIntroLossConfig:
     scale: Optional[float] = None  # None => 8 / prod(input_shape)
     exp_elbo_weight: float = 0.5
     loss_multiplier: float = 10.0
+    # Faithful main_DataParallel.py step semantics (oracle-verified against
+    # an execution of that trainer). Beyond the weight/multiplier/scale
+    # differences above, the DP trainer diverges from my_trainer in four
+    # load-bearing ways:
+    #   1. its calc_kl (:87-98) never flattens — `.sum(1)` hits the
+    #      singleton channel of the conv latent, so every KL is
+    #      PER-POSITION ((B,5,6,5)); 'mean' divides by B*150;
+    #   2. its calc_reconstruction_loss (:108-116) IGNORES `reduction` —
+    #      the "none" calls inside expELBO still return the batch-mean
+    #      scalar, so expELBO mixes a scalar recon with per-position KL;
+    #   3. phase D's loss_rec uses rec.DETACH() (:481) — the decoder gets
+    #      no reconstruction gradient from that term;
+    #   4. phase D re-decodes z_rec / z_fake WITHOUT detaching them
+    #      (:489-490 vs my_trainer.py:310-311), adding a gamma_r-weighted
+    #      gradient path decoder <- rec_rec <- z_rec <- rec <- decoder.
+    dp_semantics: bool = False
 
     def resolved_scale(self, input_shape: Sequence[int]) -> float:
         if self.scale is not None:

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 
-def _pick_h_tile(h: int, wd: int, c: int, bytes_budget: int = 1 << 20) -> int:
+def _pick_h_tile(h: int, wd: int, c: int, bytes_budget: int = 1 << 19) -> int:
     """Largest divisor-of-h tile with the bf16 patch matrix
     ((Ht+2)*W, 3C) inside the budget."""
     per_row = wd * 3 * c * 2
@@ -57,15 +57,44 @@ def _pick_h_tile(h: int, wd: int, c: int, bytes_budget: int = 1 << 20) -> int:
     return max(ht, 1)
 
 
+def _lanes(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def _pick_hb(h: int, wd: int, c: int, co: int,
+             budget: int = 12 << 20) -> int:
+    """Largest divisor-of-h H-block keeping the kernel's VMEM working set
+    under budget. Lane dims pad to 128 on hardware (C=64 arrays allocate
+    2x), which is what OOMed the 16M scoped-vmem limit when the whole
+    plane was one block: full-plane x + out + f32 acc + patch matrix
+    = ~15.8M padded. Only x needs full-plane residency (halo rows); out,
+    acc and the patch matrix shrink with the H-block."""
+    fixed = (2 * 2 * h * wd * _lanes(c)            # x block, 2 buffers
+             + 2 * 2 * 3 * c * _lanes(3 * co))     # w2 block, 2 buffers
+    hb = h
+    while hb > 1:
+        var = (2 * 2 * hb * wd * _lanes(co)        # out block, 2 buffers
+               + 2 * (hb + 2) * wd * _lanes(3 * c)  # bf16 patch scratch
+               + 4 * hb * wd * _lanes(co))         # f32 acc scratch
+        if fixed + var <= budget:
+            break
+        hb -= 1
+        while h % hb:
+            hb -= 1
+    return hb
+
+
 def _fused_kernel(x_ref, w2_ref, a_ref, b_ref, out_ref, psum_ref,
-                  psumsq_ref, pad_ref, acc_ref, *, slope: float,
+                  psumsq_ref, patch_ref, acc_ref, *, slope: float,
                   in_affine_act: bool):
     d = pl.program_id(1)
     n_d = pl.num_programs(1)
-    k = pl.program_id(2)
+    hi = pl.program_id(2)
+    k = pl.program_id(3)
     h, wd, c = x_ref.shape[2], x_ref.shape[3], x_ref.shape[4]
+    hb = out_ref.shape[2]
     co = out_ref.shape[4]
-    ht = _pick_h_tile(h, wd, c)
+    ht = _pick_h_tile(hb, wd, c)
 
     @pl.when(k == 0)
     def _():
@@ -77,42 +106,108 @@ def _fused_kernel(x_ref, w2_ref, a_ref, b_ref, out_ref, psum_ref,
 
     @pl.when(valid)
     def _():
-        pad_ref[:] = jnp.zeros_like(pad_ref)
-        plane = x_ref[0, 0]
-        if in_affine_act:
-            # previous stage's BN-apply + LeakyReLU, fused into the stage
-            # of the input plane (f32 math, one rounding to the conv dtype)
-            xf = plane.astype(jnp.float32) * a_ref[0] + b_ref[0]
-            xf = jnp.where(xf >= 0, xf, slope * xf)
-            plane = xf.astype(pad_ref.dtype)
-        pad_ref[1:h + 1, 1:wd + 1, :] = plane
+        # Build the padded patch matrix for this H-block:
+        # P[r, w, kw*C+c] = pad[hi*hb + r, w+kw, c], padded rows
+        # [hi*hb, hi*hb + hb + 2) of the plane. Three kw-shifted
+        # lane-offset stores per strip — Mosaic cannot lower a lane-dim
+        # concat of offset-mismatched slices inside the tile loop, and
+        # staging once removes the per-tile rebuild of overlapping rows.
+        # Strip-wise staging bounds the live vector values (bf16 strip +
+        # f32 affine intermediates) to ~hs*W*C*10 bytes.
+        h0x = hi * hb  # x row of this block's first interior patch row
+
+        # w-border zeros for all hb+2 rows (staging leaves those columns)
+        patch_ref[:, 0:1, 0:c] = jnp.zeros(
+            (hb + 2, 1, c), patch_ref.dtype)
+        patch_ref[:, wd - 1:wd, 2 * c:3 * c] = jnp.zeros(
+            (hb + 2, 1, c), patch_ref.dtype)
+
+        def stage_rows(dst0, src0, nrows):
+            strip = x_ref[0, 0, pl.ds(src0, nrows)]
+            if in_affine_act:
+                # previous stage's BN-apply + LeakyReLU, fused into the
+                # stage of the input plane (f32 math, one rounding to the
+                # conv dtype)
+                xf = strip.astype(jnp.float32) * a_ref[0] + b_ref[0]
+                xf = jnp.where(xf >= 0, xf, slope * xf)
+                strip = xf.astype(patch_ref.dtype)
+            patch_ref[pl.ds(dst0, nrows), 1:wd, 0:c] = strip[:, 0:wd - 1, :]
+            patch_ref[pl.ds(dst0, nrows), :, c:2 * c] = strip
+            patch_ref[pl.ds(dst0, nrows), 0:wd - 1, 2 * c:3 * c] = strip[
+                :, 1:wd, :]
+
+        hs = min(8, hb)
+        while hb % hs:
+            hs -= 1
+
+        def stage_body(si, carry):
+            s0 = pl.multiple_of(si * hs, hs)
+            stage_rows(s0 + 1, h0x + s0, hs)
+            return carry
+
+        jax.lax.fori_loop(0, hb // hs, stage_body, 0)
+
+        # H halos: row 0 <- x row h0x-1, row hb+1 <- x row h0x+hb
+        # (zero at the plane borders)
+        @pl.when(hi == 0)
+        def _():
+            patch_ref[0:1] = jnp.zeros_like(patch_ref[0:1])
+
+        @pl.when(hi > 0)
+        def _():
+            stage_rows(0, h0x - 1, 1)
+
+        @pl.when(hi == pl.num_programs(2) - 1)
+        def _():
+            patch_ref[hb + 1:hb + 2] = jnp.zeros_like(
+                patch_ref[hb + 1:hb + 2])
+
+        @pl.when(hi < pl.num_programs(2) - 1)
+        def _():
+            stage_rows(hb + 1, h0x + hb, 1)
 
         def tile_body(ti, carry):
             h0 = pl.multiple_of(ti * ht, ht)
-            # patches for padded rows [h0, h0+ht+2): (ht+2, W, 3C)
-            cols = [pad_ref[pl.ds(h0, ht + 2), kw:kw + wd, :]
-                    for kw in range(3)]
-            patches = jnp.concatenate(cols, axis=-1).reshape(
+            patches = patch_ref[pl.ds(h0, ht + 2), :, :].reshape(
                 (ht + 2) * wd, 3 * c)
             # one (M', 3C) x (3C, 3Co) pass: kh stacked into output columns
             yp = jnp.dot(patches, w2_ref[0],
                          preferred_element_type=jnp.float32)
-            yp = yp.reshape(ht + 2, wd, 3, co)
-            contrib = yp[0:ht, :, 0] + yp[1:ht + 1, :, 1] + yp[2:ht + 2, :, 2]
+            # Mosaic cannot shape-cast a lane-dim split ((M',3Co)->(..,3,Co)
+            # fails infer-vector-layout); keep the 3Co lane dim through the
+            # sublane reshape and take lane slices instead.
+            yp = yp.reshape(ht + 2, wd, 3 * co)
+            contrib = (yp[0:ht, :, 0:co]
+                       + yp[1:ht + 1, :, co:2 * co]
+                       + yp[2:ht + 2, :, 2 * co:3 * co])
             acc_ref[pl.ds(h0, ht), :, :] += contrib
             return carry
 
-        jax.lax.fori_loop(0, h // ht, tile_body, 0)
+        jax.lax.fori_loop(0, hb // ht, tile_body, 0)
 
     @pl.when(k == 2)
     def _():
         y = acc_ref[:].astype(out_ref.dtype)
         out_ref[0, 0] = y
         # BN-stat partials of the ROUNDED output (matches XLA, which
-        # reduces the stored bf16 conv output in f32)
-        yf = y.astype(jnp.float32)
-        psum_ref[0, 0, 0] = jnp.sum(yf, axis=(0, 1))
-        psumsq_ref[0, 0, 0] = jnp.sum(yf * yf, axis=(0, 1))
+        # reduces the stored bf16 conv output in f32), accumulated across
+        # the H-blocks (the psum block index ignores hi, so the block
+        # stays resident for the whole (b, d) plane).
+        # 2-D (1, co) stores: rank-1 vector stores are the least-robust
+        # shape for Mosaic lowering (ADVICE r4)
+        yf = y.astype(jnp.float32).reshape(hb * wd, co)
+        s1 = jnp.sum(yf, axis=0, keepdims=True)
+        s2 = jnp.sum(yf * yf, axis=0, keepdims=True)
+
+        @pl.when(hi == 0)
+        def _():
+            psum_ref[0, 0] = s1
+            psumsq_ref[0, 0] = s2
+
+        @pl.when(hi > 0)
+        def _():
+            psum_ref[0, 0] += s1
+            psumsq_ref[0, 0] += s2
 
 
 def conv3d_fused_stats(
@@ -122,8 +217,11 @@ def conv3d_fused_stats(
     in_b: Optional[Array] = None,
     slope: float = 0.01,
     interpret: bool = False,
+    h_block: Optional[int] = None,
 ) -> Tuple[Array, Array, Array]:
     """Fused stage forward. x (B,D,H,W,C), w (3,3,3,C,Co) DHWIO.
+    `h_block` overrides the VMEM-budgeted H-block size (tests use it to
+    exercise the multi-H-block path on shapes small enough to fit whole).
 
     Returns (y (B,D,H,W,Co) in x.dtype,
              psum (B,D,Co) f32, psumsq (B,D,Co) f32) where
@@ -143,30 +241,32 @@ def conv3d_fused_stats(
     w2 = w.astype(x.dtype).transpose(0, 2, 3, 1, 4).reshape(3, 3 * c, 3 * co)
     kernel = functools.partial(_fused_kernel, slope=slope,
                                in_affine_act=in_affine_act)
+    hb = h_block if h_block is not None else _pick_hb(h, wd, c, co)
+    assert h % hb == 0, (h, hb)
     out = pl.pallas_call(
         kernel,
-        grid=(b, d, 3),
+        grid=(b, d, h // hb, 3),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, h, wd, c),
-                lambda bi, di, ki: (
+                lambda bi, di, hi, ki: (
                     bi, jnp.clip(di + ki - 1, 0, d - 1), 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 3 * c, 3 * co),
-                lambda bi, di, ki: (ki, 0, 0),
+                lambda bi, di, hi, ki: (ki, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, c), lambda bi, di, ki: (0, 0),
+            pl.BlockSpec((1, c), lambda bi, di, hi, ki: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda bi, di, ki: (0, 0),
+            pl.BlockSpec((1, c), lambda bi, di, hi, ki: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 1, h, wd, co),
-                lambda bi, di, ki: (bi, di, 0, 0, 0),
+                (1, 1, hb, wd, co),
+                lambda bi, di, hi, ki: (bi, di, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             # Stats partials carry a unit sublane axis so the block's last
@@ -174,9 +274,11 @@ def conv3d_fused_stats(
             # last-two block dims divisible by (8, 128) or full-dim.
             # A (1, 1, co) block over a (b, d, co) array has sublane block
             # 1 vs overall d and fails to lower on real TPU.
-            pl.BlockSpec((1, 1, 1, co), lambda bi, di, ki: (bi, di, 0, 0),
+            pl.BlockSpec((1, 1, 1, co),
+                         lambda bi, di, hi, ki: (bi, di, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, co), lambda bi, di, ki: (bi, di, 0, 0),
+            pl.BlockSpec((1, 1, 1, co),
+                         lambda bi, di, hi, ki: (bi, di, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -185,8 +287,8 @@ def conv3d_fused_stats(
             jax.ShapeDtypeStruct((b, d, 1, co), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((h + 2, wd + 2, c), x.dtype),
-            pltpu.VMEM((h, wd, co), jnp.float32),
+            pltpu.VMEM((hb + 2, wd, 3 * c), x.dtype),
+            pltpu.VMEM((hb, wd, co), jnp.float32),
         ],
         interpret=interpret,
     )(x, w2, in_a.astype(jnp.float32).reshape(1, c),

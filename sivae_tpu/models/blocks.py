@@ -300,143 +300,14 @@ class Conv3d(nn.Module):
         )(x), self.tag_scope)
 
 
-class _KernelLeaf(nn.Module):
-    """Bare conv-kernel param; named "Conv_0" by its holder so the param
-    tree matches the nn.Conv path (checkpoints interchange freely)."""
-
-    features: int
-    param_dtype: Any
-
-    @nn.compact
-    def __call__(self, c_in: int):
-        return self.param("kernel", he_normal,
-                          (3, 3, 3, c_in, self.features), self.param_dtype)
-
-
-class _ConvKernelHolder(nn.Module):
-    """Param holder whose tree matches Conv3d (<name>/Conv_0/kernel)
-    without running a conv — the fused conv+BN-stat megakernel
-    (kernels/conv3d_fused.py) consumes the kernel directly."""
-
-    features: int
-    param_dtype: Any
-
-    @nn.compact
-    def __call__(self, c_in: int):
-        return _KernelLeaf(self.features, self.param_dtype, name="Conv_0")(c_in)
-
-
-class _BNStatLeaf(nn.Module):
-    """BatchNorm apply from externally computed batch stats (the fused
-    kernel's per-(b,d) partials, already reduced to mean/var). Param and
-    batch_stats trees are identical to _BNCore; same flax op order."""
-
-    dtype: Any = jnp.float32
-    param_dtype: Any = jnp.float32
-    momentum: float = 0.9
-    epsilon: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x: Array, mean: Array, var: Array,
-                 use_running_average: bool) -> Array:
-        feature_shape = (x.shape[-1],)
-        ra_mean = self.variable("batch_stats", "mean",
-                                lambda s: jnp.zeros(s, jnp.float32),
-                                feature_shape)
-        ra_var = self.variable("batch_stats", "var",
-                               lambda s: jnp.ones(s, jnp.float32),
-                               feature_shape)
-        if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            mean = checkpoint_name(mean, BN_STAT)
-            var = checkpoint_name(var, BN_STAT)
-            if not self.is_initializing():
-                ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1 - self.momentum) * mean)
-                ra_var.value = (self.momentum * ra_var.value
-                                + (1 - self.momentum) * var)
-        shape = (1,) * (x.ndim - 1) + feature_shape
-        y = x - mean.reshape(shape)
-        mul = jax.lax.rsqrt(var.reshape(shape) + self.epsilon)
-        scale = self.param("scale", nn.initializers.ones,
-                           feature_shape, self.param_dtype)
-        mul = mul * scale.reshape(shape)
-        y = y * mul
-        bias = self.param("bias", nn.initializers.zeros,
-                          feature_shape, self.param_dtype)
-        y = y + bias.reshape(shape)
-        return jnp.asarray(y, self.dtype)
-
-
-class _BNStatHolder(nn.Module):
-    """Wrapper naming _BNStatLeaf "BatchNorm_0" — tree matches BatchNorm."""
-
-    dtype: Any = jnp.float32
-    param_dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, mean, var, use_running_average: bool):
-        return _BNStatLeaf(dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="BatchNorm_0")(x, mean, var,
-                                               use_running_average)
-
-
-def fused_conv_bn_fits(x_shape, out_ch: int, itemsize: int = 2,
-                       min_voxels: int = HI_RES_VOXELS) -> bool:
-    """Does this conv site qualify for the fused conv+BN-stat megakernel?
-
-    Hi-res output (the only place the layout-copy win exists), MXU-friendly
-    channel counts, and the kernel's VMEM working set (padded input plane +
-    f32 accumulator + in/out blocks) within budget."""
-    _, d, h, wd, c = x_shape
-    if d * h * wd < min_voxels:
-        return False
-    if c % 8 or out_ch % 8:
-        return False
-    pad = (h + 2) * (wd + 2) * c * itemsize
-    acc = h * wd * out_ch * 4
-    io = 3 * h * wd * c * itemsize + h * wd * out_ch * itemsize
-    return pad + acc + io + (3 << 20) < (12 << 20)
-
-
-def _conv_bn(h: Array, out_ch: int, idx: int, train: bool, *, fused_on: bool,
-             min_voxels: int, use_bias: bool, use_pallas: bool,
-             tag_scope: str, dtype: Any, param_dtype: Any) -> Array:
-    """One conv3x3x3 -> BN unit, explicitly named Conv3d_{idx}/BatchNorm_{idx}
-    (identical tree to the auto-named modules). Routes through the fused
-    conv+BN-stat Pallas megakernel when the site qualifies: the BN batch
-    stats come from the kernel's per-(b,d) partials instead of a separate
-    full-resolution HBM reduction, and the conv reads/writes default-layout
-    arrays (none of XLA's conv-layout bracketing copies — the 19% copy
-    bucket in docs/PERF.md)."""
-    kw = dict(dtype=dtype, param_dtype=param_dtype)
-    cname, bname = f"Conv3d_{idx}", f"BatchNorm_{idx}"
-    itemsize = jnp.dtype(dtype).itemsize
-    if (fused_on and train and not use_bias
-            and fused_conv_bn_fits(h.shape, out_ch, itemsize, min_voxels)):
-        from sivae_tpu.kernels.conv3d_fused import conv3d_stats
-
-        k = _ConvKernelHolder(out_ch, param_dtype, name=cname)(h.shape[-1])
-        interp = jax.default_backend() != "tpu"
-        import numpy as np
-
-        voxels = int(np.prod(h.shape[1:-1]))
-        if voxels < HI_RES_VOXELS:
-            tag = CONV_OUT
-        else:
-            tag = CONV_OUT_HI_DEC if tag_scope == "dec" else CONV_OUT_HI_ENC
-        y, s1, s2 = conv3d_stats(h.astype(dtype), k.astype(dtype), interp,
-                                 tag)
-        n = y.shape[0] * y.shape[1] * y.shape[2] * y.shape[3]
-        mean = jnp.sum(s1, axis=(0, 1)) / n
-        mu2 = jnp.sum(s2, axis=(0, 1)) / n
-        var = jnp.maximum(0.0, mu2 - mean * mean)
-        return _BNStatHolder(**kw, name=bname)(y, mean, var,
-                                               use_running_average=False)
-    y = Conv3d(out_ch, use_bias=use_bias, use_pallas=use_pallas,
-               tag_scope=tag_scope, name=cname, **kw)(h)
-    return BatchNorm(name=bname, **kw)(y, train)
+# NOTE (round 5): the fused conv+BN-stat megakernel's MODEL integration
+# (_KernelLeaf/_ConvKernelHolder/_BNStatLeaf/_BNStatHolder/fused_conv_bn_fits/
+# _conv_bn and the use_fused_stats block paths) was removed after the TPU A/B
+# finally ran and the kernel LOST decisively (docs/AB_MEGAKERNEL_r05.json:
+# pallas fused stage 31.0 ms vs XLA 24.0 ms on bf16[8,80,96,80,64]); the
+# kernel itself stays in kernels/conv3d_fused.py as the recorded experiment,
+# exercised by tools/megakernel_ab.py and tests/test_pallas_fused.py.
+# See docs/PERF.md "Round-5" for the full table and decision.
 
 
 class _BNCore(nn.Module):
@@ -524,33 +395,12 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
-    use_fused_stats: bool = False
-    fused_min_voxels: int = HI_RES_VOXELS
     tag_scope: str = "enc"
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         act = make_act(self.act)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        if self.use_fused_stats:
-            # explicit-name path (param tree identical to the auto-named
-            # path below); qualifying sites take the fused megakernel
-            fkw = dict(fused_on=True, min_voxels=self.fused_min_voxels,
-                       use_bias=self.use_bias, use_pallas=self.use_pallas,
-                       tag_scope=self.tag_scope, dtype=self.dtype,
-                       param_dtype=self.param_dtype)
-            h = _conv_bn(x, self.out_ch, 0, train, **fkw)
-            h = act(h)
-            h = avg_pool3d(h, self.stride)
-            h = _conv_bn(h, self.out_ch, 1, train, **fkw)
-            if self.stride == 1:
-                shortcut = x
-                if x.shape[-1] != self.out_ch:
-                    shortcut = Conv3d(self.out_ch, kernel_size=(1, 1, 1),
-                                      use_bias=True, name="Conv3d_2",
-                                      **kw)(x)
-                h = h + shortcut
-            return act(h)
         ckw = dict(use_pallas=self.use_pallas, tag_scope=self.tag_scope, **kw)
         h = Conv3d(self.out_ch, use_bias=self.use_bias, **ckw)(x)
         h = BatchNorm(**kw)(h, train)
@@ -580,15 +430,11 @@ class UpBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
-    use_fused_stats: bool = False
-    fused_min_voxels: int = HI_RES_VOXELS
     fuse_upconv: bool = True
     tag_scope: str = "dec"
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        if self.use_fused_stats:
-            return self._fused_path(x, train)
         act = make_act(self.act)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         ckw = dict(use_pallas=self.use_pallas, tag_scope=self.tag_scope, **kw)
@@ -619,43 +465,6 @@ class UpBlock(nn.Module):
             shortcut = x
             if in_ch != self.out_ch:
                 shortcut = Conv3d(self.out_ch, kernel_size=(1, 1, 1), use_bias=True, **kw)(x)
-            h = h + shortcut
-        return act(h)
-
-    def _fused_path(self, x: Array, train: bool) -> Array:
-        """Explicit-name variant of __call__ (identical param tree);
-        qualifying stride-1 conv sites take the fused megakernel."""
-        act = make_act(self.act)
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        fkw = dict(fused_on=True, min_voxels=self.fused_min_voxels,
-                   use_bias=self.use_bias, use_pallas=self.use_pallas,
-                   tag_scope=self.tag_scope, dtype=self.dtype,
-                   param_dtype=self.param_dtype)
-        in_ch = x.shape[-1]
-        h = _conv_bn(x, in_ch, 0, train, **fkw)
-        h = act(h)
-        if self.fuse_upconv and self.stride == 2:
-            outer = self
-
-            class _Named(nn.Module):
-                @nn.compact
-                def __call__(self, h_in):
-                    return _FusedUpConvCore(
-                        features=outer.out_ch, use_bias=outer.use_bias,
-                        kernel_init=he_normal, dtype=outer.dtype,
-                        param_dtype=outer.param_dtype,
-                        tag_scope=outer.tag_scope, name="Conv_0")(h_in)
-
-            h = _Named(name="Conv3d_1")(h)
-            h = BatchNorm(name="BatchNorm_1", **kw)(h, train)
-        else:
-            h = upsample_nearest3d(h, self.stride)
-            h = _conv_bn(h, self.out_ch, 1, train, **fkw)
-        if self.stride == 1:
-            shortcut = x
-            if in_ch != self.out_ch:
-                shortcut = Conv3d(self.out_ch, kernel_size=(1, 1, 1),
-                                  use_bias=True, name="Conv3d_2", **kw)(x)
             h = h + shortcut
         return act(h)
 

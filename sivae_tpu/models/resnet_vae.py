@@ -61,8 +61,7 @@ class SpatialEncoder(nn.Module):
         for c, n, s in cfg.block_setting:
             for i in range(n):
                 stride = s if i == 0 else 1
-                h = Block(c, stride, act=cfg.act,
-                          use_fused_stats=cfg.use_fused_conv_bn, **bkw)(h, train)
+                h = Block(c, stride, act=cfg.act, **bkw)(h, train)
         if cfg.variational:
             mu = Conv3d(1, kernel_size=(1, 1, 1), use_bias=True, name="mu", **kw)(h)
             logvar = Conv3d(1, kernel_size=(1, 1, 1), use_bias=True, name="logvar",
@@ -105,7 +104,6 @@ class SpatialDecoder(nn.Module):
                 out_c = nc if j == n - 1 else c
                 h = Block(out_c, stride, act=cfg.act,
                           fuse_upconv=cfg.fuse_upconv,
-                          use_fused_stats=cfg.use_fused_conv_bn,
                           **bkw)(h, train)
         h = Conv3d(1, use_bias=True, use_pallas=cfg.use_pallas_conv,
                    use_pallas_small=resolve_small_ch(cfg.use_pallas_small_ch),

@@ -80,6 +80,50 @@ def test_conv_v2_bf16_close_to_f32_reference():
         rtol=2e-2, atol=2e-2)
 
 
+def test_fused_stats_compiles_on_tpu():
+    """interpret=False smoke test (ADVICE r4): the Mosaic lowering
+    constraints this kernel works around (lane-split reshapes, offset-
+    mismatched lane concats, the 16M scoped-vmem limit) are only reachable
+    on real TPU; the rest of this module runs the interpreter. Skipped
+    off-TPU (the suite pins JAX_PLATFORMS=cpu; run manually on hardware,
+    or via tools/megakernel_ab.py --check which covers the real shape)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend")
+    kx, kw_ = jax.random.split(jax.random.key(7))
+    x = jax.random.normal(kx, (1, 4, 8, 8, 8), jnp.bfloat16)
+    w = (jax.random.normal(kw_, (3, 3, 3, 8, 8), jnp.float32) * 0.2).astype(jnp.bfloat16)
+    y, s1, s2 = jax.jit(lambda x, w: conv3d_fused_stats(x, w))(x, w)
+    want = _xla_conv(x, w)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+    assert np.isfinite(np.asarray(s1, np.float32)).all()
+    assert np.isfinite(np.asarray(s2, np.float32)).all()
+
+
+def test_multi_h_block_matches_whole_plane():
+    """Forcing the VMEM-driven H-block split (h_block < H) must be
+    invisible: same conv output and same accumulated stat partials as the
+    single-block path (the flagship shape runs hb=H/2 on hardware)."""
+    kx, kw_ = jax.random.split(jax.random.key(5))
+    x = jax.random.normal(kx, (2, 4, 8, 6, 4), jnp.float32)
+    w = jax.random.normal(kw_, (3, 3, 3, 4, 8), jnp.float32) * 0.2
+    ka, kb = jax.random.split(jax.random.key(6))
+    a = jax.random.uniform(ka, (4,), jnp.float32, 0.5, 1.5)
+    b = jax.random.normal(kb, (4,), jnp.float32) * 0.1
+    for kwargs in ({}, {"in_a": a, "in_b": b}):
+        y1, s1a, s2a = conv3d_fused_stats(x, w, interpret=True, **kwargs)
+        for hb in (2, 4):
+            y2, s1b, s2b = conv3d_fused_stats(x, w, interpret=True,
+                                              h_block=hb, **kwargs)
+            np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(s1b), np.asarray(s1a),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(s2b), np.asarray(s2a),
+                                       rtol=1e-5, atol=1e-5)
+
+
 def test_conv3d_stats_vjp_matches_xla_autodiff():
     """Gradients of a scalar built from ALL THREE outputs (y, s1, s2) match
     XLA autodiff of the same function — the integration form where BN

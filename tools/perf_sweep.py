@@ -34,12 +34,11 @@ VARIANTS = {
     "block_conv_outs_no_dec_hi_small": (
         True, "conv_outs_no_dec_hi", False, None,
         {"use_pallas_small_ch": True}),
-    # A/B of the fused conv+BN-stat Pallas megakernel on the qualifying
-    # hi-res conv site (encoder block-1 conv1, bf16[8,80,96,80,64]->64):
-    # the end-to-end vol/s decision number for VERDICT r3 next-#2
-    "block_conv_outs_no_dec_hi_fusedbn": (
-        True, "conv_outs_no_dec_hi", False, None,
-        {"use_fused_conv_bn": True}),
+    # (round 5) the "block_conv_outs_no_dec_hi_fusedbn" variant was removed
+    # with the megakernel's model routing: the micro A/B settled the
+    # question without an end-to-end run (the fused stage is 29% slower
+    # than XLA's on the exact target shape, so an end-to-end number could
+    # only dilute the loss — docs/AB_MEGAKERNEL_r05.json, PERF.md round 5).
 }
 
 
