@@ -83,6 +83,25 @@ def calc_kl_general(
     return kl
 
 
+def calc_kl_per_position(logvar: Array, mu: Array, reduce: str = "none") -> Array:
+    """KL summed over the CHANNEL axis only — the DataParallel trainer's
+    calc_kl (reference main_DataParallel.py:87-98) never flattens: its
+    `.sum(1)` hits the SINGLETON channel of the conv latent (B,1,5,6,5),
+    so the result is PER-POSITION KL of shape (B,5,6,5). reduce='mean'
+    therefore divides by B*5*6*5 (not B), and reduce='none' feeds a
+    per-position tensor into expELBO's mean. Channel-last here, so the
+    sum runs over axis -1.
+    """
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    kl = -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1)
+    if reduce == "mean":
+        return jnp.mean(kl)
+    if reduce == "sum":
+        return jnp.sum(kl)
+    return kl
+
+
 # --- plain-VAE losses (reference models/lossf.py) --------------------------
 
 

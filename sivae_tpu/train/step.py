@@ -41,6 +41,7 @@ from jax.lax import stop_gradient as sg
 from sivae_tpu.config import OptimConfig, SoftIntroLossConfig
 from sivae_tpu.ops.losses import (
     calc_kl,
+    calc_kl_per_position,
     calc_reconstruction_loss,
     normal_loss,
     soft_intro_decoder_loss,
@@ -134,6 +135,8 @@ def make_soft_intro_train_step(
     if remat_calls:
         model = _CheckpointedCalls(model, remat_calls_policy)
     eps0 = 0.0 if zero_noise else None
+    dp = loss_cfg.dp_semantics
+    _kl = calc_kl_per_position if dp else calc_kl
 
     def _reparam(key, mu, logvar):
         return reparameterize(key, mu, logvar, val_eps=eps0)
@@ -160,7 +163,7 @@ def make_soft_intro_train_step(
             rec, dv = model.decode(dv, z, train=True, dropout_rng=dkeys[2])
 
             loss_rec = calc_reconstruction_loss(real, rec, reduction="mean")
-            kl_real = calc_kl(real_logvar, real_mu, reduce="mean")
+            kl_real = _kl(real_logvar, real_mu, "mean")
 
             # model.forward(rec.detach()) / model.forward(fake.detach())
             (rec_mu, rec_logvar), ev = model.encode(ev, sg(rec), train=True, dropout_rng=dkeys[3])
@@ -170,11 +173,15 @@ def make_soft_intro_train_step(
             z_fake = _reparam(k_zfake, fake_mu, fake_logvar)
             rec_fake, dv = model.decode(dv, z_fake, train=True, dropout_rng=dkeys[6])
 
-            fake_kl_e = calc_kl(fake_logvar, fake_mu, reduce="none")
-            rec_kl_e = calc_kl(rec_logvar, rec_mu, reduce="none")
-            loss_fake_rec = calc_reconstruction_loss(fake, rec_fake, reduction="none")
+            fake_kl_e = _kl(fake_logvar, fake_mu, "none")
+            rec_kl_e = _kl(rec_logvar, rec_mu, "none")
+            # dp_semantics: the DP calc_reconstruction_loss ignores
+            # `reduction`, so the expELBO recon terms are batch-mean
+            # SCALARS there (main_DataParallel.py:108-116)
+            elbo_red = "mean" if dp else "none"
+            loss_fake_rec = calc_reconstruction_loss(fake, rec_fake, reduction=elbo_red)
             # NB: target `rec` is NOT detached here (my_trainer.py:275)
-            loss_rec_rec = calc_reconstruction_loss(rec, rec_rec, reduction="none")
+            loss_rec_rec = calc_reconstruction_loss(rec, rec_rec, reduction=elbo_red)
 
             lossE, e_fake, e_rec = soft_intro_encoder_loss(
                 loss_rec=loss_rec, kl_real=kl_real,
@@ -224,20 +231,29 @@ def make_soft_intro_train_step(
             fake, dv = model.decode(dv, noise, train=True, dropout_rng=kd_noise)
             rec, dv = model.decode(dv, z, train=True, dropout_rng=kd_z)
 
-            loss_rec = calc_reconstruction_loss(real, rec, reduction="mean")
+            # dp_semantics: the DP trainer detaches rec here
+            # (main_DataParallel.py:481) — its decoder gets NO
+            # reconstruction gradient from the beta_rec*loss_rec term
+            loss_rec = calc_reconstruction_loss(
+                real, sg(rec) if dp else rec, reduction="mean")
 
             (rec_mu, rec_logvar), ev = model.encode(ev, rec, train=True, dropout_rng=dkeys[9])
             z_rec = _reparam(k_dzrec, rec_mu, rec_logvar)
             (fake_mu, fake_logvar), ev = model.encode(ev, fake, train=True, dropout_rng=dkeys[10])
             z_fake = _reparam(k_dzfake, fake_mu, fake_logvar)
 
-            rec_rec, dv = model.decode(dv, sg(z_rec), train=True, dropout_rng=dkeys[11])
-            rec_fake, dv = model.decode(dv, sg(z_fake), train=True, dropout_rng=dkeys[12])
+            # dp_semantics: the DP trainer does NOT detach z_rec/z_fake
+            # before the re-decode (main_DataParallel.py:489-490), unlike
+            # my_trainer.py:310-311
+            z_rec_d = z_rec if dp else sg(z_rec)
+            z_fake_d = z_fake if dp else sg(z_fake)
+            rec_rec, dv = model.decode(dv, z_rec_d, train=True, dropout_rng=dkeys[11])
+            rec_fake, dv = model.decode(dv, z_fake_d, train=True, dropout_rng=dkeys[12])
 
             loss_rec_rec = calc_reconstruction_loss(sg(rec), rec_rec, reduction="mean")
             loss_fake_rec = calc_reconstruction_loss(sg(fake), rec_fake, reduction="mean")
-            rec_kl = calc_kl(rec_logvar, rec_mu, reduce="mean")
-            fake_kl = calc_kl(fake_logvar, fake_mu, reduce="mean")
+            rec_kl = _kl(rec_logvar, rec_mu, "mean")
+            fake_kl = _kl(fake_logvar, fake_mu, "mean")
 
             lossD = soft_intro_decoder_loss(
                 loss_rec=loss_rec, rec_kl=rec_kl, fake_kl=fake_kl,
@@ -317,6 +333,8 @@ def make_soft_intro_eval_step(
 
     scale = loss_cfg.resolved_scale(input_shape)
     eps0 = 0.0 if zero_noise else None
+    dp = loss_cfg.dp_semantics
+    _kl = calc_kl_per_position if dp else calc_kl
 
     def eval_step(state: SIVAETrainState, real: Array, rng: jax.Array) -> Metrics:
         ev = {"params": state.enc_params, "batch_stats": state.enc_stats}
@@ -335,7 +353,7 @@ def make_soft_intro_eval_step(
         z = reparameterize(None, real_mu, real_logvar, val_eps=val_eps)
         rec, _ = model.decode(dv, z)
         loss_rec = calc_reconstruction_loss(real, rec, reduction="mean")
-        kl_real = calc_kl(real_logvar, real_mu, reduce="mean")
+        kl_real = _kl(real_logvar, real_mu, "mean")
 
         (rec_mu, rec_logvar), _ = model.encode(ev, rec)
         z_rec = reparameterize(k_zrec, rec_mu, rec_logvar, val_eps=eps0)  # random eps (forward default)
@@ -344,10 +362,11 @@ def make_soft_intro_eval_step(
         z_fake = reparameterize(k_zfake, fake_mu, fake_logvar, val_eps=eps0)
         rec_fake, _ = model.decode(dv, z_fake)
 
-        fake_kl_e = calc_kl(fake_logvar, fake_mu, reduce="none")
-        rec_kl_e = calc_kl(rec_logvar, rec_mu, reduce="none")
-        loss_fake_rec = calc_reconstruction_loss(fake, rec_fake, reduction="none")
-        loss_rec_rec = calc_reconstruction_loss(rec, rec_rec, reduction="none")
+        fake_kl_e = _kl(fake_logvar, fake_mu, "none")
+        rec_kl_e = _kl(rec_logvar, rec_mu, "none")
+        elbo_red = "mean" if dp else "none"
+        loss_fake_rec = calc_reconstruction_loss(fake, rec_fake, reduction=elbo_red)
+        loss_rec_rec = calc_reconstruction_loss(rec, rec_rec, reduction=elbo_red)
         lossE, e_fake, e_rec = soft_intro_encoder_loss(
             loss_rec=loss_rec, kl_real=kl_real,
             loss_fake_rec=loss_fake_rec, loss_rec_rec=loss_rec_rec,
@@ -366,8 +385,8 @@ def make_soft_intro_eval_step(
         rec_fake2, _ = model.decode(dv, z_fake2)
         loss_rec_rec2 = calc_reconstruction_loss(rec, rec_rec2, reduction="mean")
         loss_fake_rec2 = calc_reconstruction_loss(fake, rec_fake2, reduction="mean")
-        rec_kl = calc_kl(rec_logvar2, rec_mu2, reduce="mean")
-        fake_kl = calc_kl(fake_logvar2, fake_mu2, reduce="mean")
+        rec_kl = _kl(rec_logvar2, rec_mu2, "mean")
+        fake_kl = _kl(fake_logvar2, fake_mu2, "mean")
         lossD = soft_intro_decoder_loss(
             loss_rec=loss_rec, rec_kl=rec_kl, fake_kl=fake_kl,
             loss_rec_rec=loss_rec_rec2, loss_fake_rec=loss_fake_rec2,

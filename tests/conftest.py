@@ -31,7 +31,8 @@ QUICK_MODULES = {
     "test_losses", "test_data", "test_cli", "test_metrics_eval",
     "test_utils", "test_cli_e2e",
 }
-ORACLE_MODULES = {"test_reference_oracle", "test_reference_oracle_fc"}
+ORACLE_MODULES = {"test_reference_oracle", "test_reference_oracle_fc",
+                  "test_reference_oracle_dp"}
 
 import pytest  # noqa: E402
 

@@ -86,6 +86,16 @@ NOISE_SEED = 2025  # --fixed-noise: seed for the deterministic noise batch
 FC_CHANNELS = (2, 2, 2, 2)  # first..forth
 FC_Z_CH = 8
 
+# --family dp: main_DataParallel.py's trainer + ITS OWN embedded model
+# classes (the plain-ReLU / no-dropout / identity-shortcut family — NOT
+# models/models.py's LeakyReLU+dropout family). The flagship DP config is
+# SoftIntroVAE(12, [[12,1,2],[24,1,2],[32,2,2],[48,2,2]]) (:605), 4 stride-2
+# stages => latent (5,6,5); the trainer hardcodes noise (b,1,5,6,5) (:444)
+# so the input must be 80x96x80 and the block_setting must keep 4 stages.
+DP_IN_CH = 2
+DP_BLOCKS = [[2, 1, 2], [2, 1, 2], [2, 2, 2], [2, 2, 2]]
+DP_BETAS = dict(beta_rec=1.0, beta_neg=256.0, beta_kl=1.0)  # :613-616
+
 
 def _stub_module(name: str, **attrs):
     m = types.ModuleType(name)
@@ -135,6 +145,206 @@ def make_inputs():
     return x_train, x_val
 
 
+def adam_moments(opt, module):
+    """exp_avg/exp_avg_sq for every named param of `module`, zeros for
+    params that never received gradients (no Adam state)."""
+    import numpy as np
+
+    out = {}
+    names = [n for n, _ in module.named_parameters()]
+    params = opt.param_groups[0]["params"]
+    assert len(names) == len(params)
+    for name, p in zip(names, params):
+        st = opt.state.get(p, {})
+        if "exp_avg" not in st:
+            out[f"{name}.exp_avg"] = np.zeros(tuple(p.shape), np.float32)
+            out[f"{name}.exp_avg_sq"] = np.zeros(tuple(p.shape), np.float32)
+            continue
+        out[f"{name}.exp_avg"] = st["exp_avg"].numpy()
+        out[f"{name}.exp_avg_sq"] = st["exp_avg_sq"].numpy()
+        out[f"{name}.step"] = np.asarray(float(st["step"]))
+    return out
+
+
+def _extract_dp_namespace(batch_size: int):
+    """AST-extract and EXECUTE main_DataParallel.py's own defs.
+
+    The module top-level calls load_data() on the real dataset tree, so it
+    cannot be imported; instead the trainer function, its loss helpers and
+    its embedded model classes are sliced out by name and exec'd verbatim
+    — the executed code IS the reference source, not a transcription.
+    """
+    import ast
+    import time as _time
+
+    import numpy as np
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+    import torch.optim as optim
+    from torch.utils.data import DataLoader
+
+    with open(os.path.join(REF, "main_DataParallel.py")) as f:
+        src = f.read()
+    want = {"calc_kl", "reparameterize", "calc_reconstruction_loss",
+            "BuildingBlock", "UpsampleBuildingkBlock", "ResNetEncoder",
+            "ResNetDecoder", "VAEResNetEncoder", "SoftIntroVAE",
+            "train_soft_intro_vae"}
+    segs = {}
+    for node in ast.parse(src).body:
+        if isinstance(node, (ast.FunctionDef, ast.ClassDef)) and node.name in want:
+            segs[node.name] = ast.get_source_segment(src, node)
+    missing = want - set(segs)
+    assert not missing, f"main_DataParallel.py defs not found: {missing}"
+
+    class _StubOS:  # the trainer only calls os.cpu_count() (DataLoader workers)
+        cpu_count = staticmethod(lambda: 0)
+
+    ns = {"torch": torch, "nn": nn, "F": F, "optim": optim, "np": np,
+          "random": random, "time": _time, "os": _StubOS,
+          "DataLoader": DataLoader,
+          # batch_size must exist BEFORE the trainer def executes: it is
+          # a default-argument expression (evaluated at def time)
+          "batch_size": batch_size}
+    order = ["calc_kl", "reparameterize", "calc_reconstruction_loss",
+             "BuildingBlock", "UpsampleBuildingkBlock", "ResNetEncoder",
+             "ResNetDecoder", "VAEResNetEncoder", "SoftIntroVAE",
+             "train_soft_intro_vae"]
+    for name in order:
+        exec(compile(segs[name], "main_DataParallel.py", "exec"), ns)
+    return ns
+
+
+def run_dp(cli):
+    """--family dp: run main_DataParallel.py:train_soft_intro_vae (:384-599)
+    on a tiny 4-stage plain-ReLU model and record init/final state, Adam
+    moments and the returned val scalars. Its encode/decode go through
+    model.module.* (one device), so single-process CPU execution is
+    faithful to the reference math. Quirks recorded for the test:
+    - the train loop never accumulates train_lossE/train_lossD (:470-505)
+      => the returned train scalars are exactly 0.0;
+    - val_lossE/val_lossD accumulate across epochs without reset (divided
+      by len(val_loader)=1 each epoch) => the returned val scalars are the
+      SUM of per-epoch values.
+    """
+    import numpy as np
+    import torch
+
+    steps = cli.steps
+    ns = _extract_dp_namespace(BATCH)
+
+    class _FixedDataset(torch.utils.data.Dataset):
+        def __init__(self, arr):
+            self.x = torch.tensor(arr)
+
+        def __len__(self):
+            return len(self.x)
+
+        def __getitem__(self, i):
+            return self.x[i], 0
+
+    orig_randn, orig_randn_like = torch.randn, torch.randn_like
+
+    def fixed_randn(*args, **kwargs):
+        kwargs.pop("device", None)
+        kwargs.pop("dtype", None)
+        shape = tuple(kwargs["size"]) if "size" in kwargs else tuple(args)
+        vals = np.random.RandomState(NOISE_SEED).randn(*shape)
+        return torch.tensor(vals.astype(np.float32))
+
+    # fixed nonzero noise batch (zero noise degenerates the fake path's BN,
+    # see --fixed-noise help), zero reparam eps
+    torch.randn = fixed_randn
+    torch.randn_like = lambda t, **kw: torch.zeros_like(t)
+    captured = []
+    _Adam = torch.optim.Adam
+
+    class RecordingAdam(_Adam):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            captured.append(self)
+
+    torch.optim.Adam = RecordingAdam
+    try:
+        random.seed(77)
+        np.random.seed(77)
+        torch.manual_seed(77)
+        # the DP trainer has NO init_weights_he pass — training starts from
+        # the torch ctor defaults, which the seed above makes reproducible
+        model = ns["SoftIntroVAE"](DP_IN_CH, copy.deepcopy(DP_BLOCKS))
+        dp_model = torch.nn.DataParallel(model)  # CPU: forwards self.module
+        init_sd = {k: v.detach().clone().numpy()
+                   for k, v in model.state_dict().items()}
+
+        x_train, x_val = make_inputs()
+        ns["model"] = dp_model
+        ns["train_dataset"] = _FixedDataset(x_train)
+        ns["val_dataset"] = _FixedDataset(x_val)
+        g = torch.Generator()
+        g.manual_seed(0)
+        ns["g"] = g
+        ns["seed_worker"] = lambda wid: None
+        out_dir = tempfile.mkdtemp(prefix="ref_oracle_dp_")
+        os.makedirs(os.path.join(out_dir, "Parallel"), exist_ok=True)
+        ns["log_path"] = out_dir + "/"
+
+        tE, tD, vE, vD = ns["train_soft_intro_vae"](
+            lr_e=2e-4, lr_d=2e-4, batch_size=BATCH, start_epoch=0,
+            num_epochs=steps, num_vae=0, save_interval=5000,
+            recon_loss_type="mse", test_iter=1000, seed=-1,
+            device=torch.device("cpu"), **DP_BETAS)
+    finally:
+        torch.randn, torch.randn_like = orig_randn, orig_randn_like
+        torch.optim.Adam = _Adam
+
+    assert tE == 0.0 and tD == 0.0, (
+        "expected the DP train-loss no-accumulation quirk", tE, tD)
+    final_sd = {k: v.detach().clone().numpy()
+                for k, v in model.state_dict().items()}
+    assert len(captured) == 2, f"expected 2 Adam instances, got {len(captured)}"
+    opt_e, opt_d = captured
+
+    arrays = {"val_lossE": np.asarray([vE]), "val_lossD": np.asarray([vD])}
+    for k, v in init_sd.items():
+        arrays[f"init/{k}"] = v
+    for k, v in final_sd.items():
+        arrays[f"final/{k}"] = v
+    for k, v in adam_moments(opt_e, model.encoder).items():
+        arrays[f"adam_e/{k}"] = v
+    for k, v in adam_moments(opt_d, model.decoder).items():
+        arrays[f"adam_d/{k}"] = v
+
+    golden_dir = os.path.join(REPO, "tests", "golden")
+    os.makedirs(golden_dir, exist_ok=True)
+    stem = "reference_oracle_dp"
+    if steps != STEPS:
+        stem += f"_s{steps}"
+    npz_path = os.path.join(golden_dir, stem + ".npz")
+    np.savez_compressed(npz_path, **arrays)
+    meta = {
+        "generator": "tools/gen_reference_golden.py --family dp",
+        "reference_fn": "main_DataParallel.py:train_soft_intro_vae (:384-599)",
+        "torch_version": __import__("torch").__version__,
+        "family": "dp", "in_ch": DP_IN_CH, "block_setting": DP_BLOCKS,
+        "input_shape": list(INPUT_SHAPE), "batch": BATCH, "steps": steps,
+        **DP_BETAS, "scale": "1/(80*96*80)  (:411)",
+        "data_seed": DATA_SEED,
+        "noise": {"kind": "fixed", "seed": NOISE_SEED,
+                  "shape": [BATCH, 1, 5, 6, 5]},
+        "train_loss_quirk": "returned train_lossE/train_lossD are 0.0 (the "
+                            "loop never accumulates them, :470-505)",
+        "val_loss_accumulation": "returned val scalars are sums of "
+                                 "per-epoch values (no reset, :520-586)",
+        "x_train_sha256": hashlib.sha256(x_train.tobytes()).hexdigest(),
+        "x_val_sha256": hashlib.sha256(x_val.tobytes()).hexdigest(),
+        "val_lossE": [float(vE)], "val_lossD": [float(vD)],
+    }
+    with open(os.path.join(golden_dir, stem + ".json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps({"val_lossE": float(vE), "val_lossD": float(vD),
+                      "npz": npz_path}, indent=2))
+
+
 def main():
     import argparse
 
@@ -156,11 +366,14 @@ def main():
                          "params/BN stats/Adam moments can be asserted "
                          "tightly (the 5-step fixture needs measured-chaos "
                          "tolerances)")
-    ap.add_argument("--family", choices=("spatial", "fc"), default="spatial",
+    ap.add_argument("--family", choices=("spatial", "fc", "dp"), default="spatial",
                     help="spatial: models/models.py + utils/my_trainer.py "
                          "(flagship). fc: models/mymodel.py + "
                          "utils/trainer_fc.py (vector-z family; noise is "
-                         "randn(b, z_ch), trainer_fc.py:218)")
+                         "randn(b, z_ch), trainer_fc.py:218). dp: "
+                         "main_DataParallel.py's trainer + its embedded "
+                         "plain-ReLU model classes (AST-extracted — the "
+                         "module top-level needs the real dataset tree)")
     ap.add_argument("--fixed-noise", action="store_true",
                     help="torch.randn (the decoder noise batch) returns a "
                          "FIXED seed-2025 tensor instead of zeros; "
@@ -175,6 +388,10 @@ def main():
                          "the s1 golden)")
     cli = ap.parse_args()
     steps = cli.steps
+
+    if cli.family == "dp":
+        run_dp(cli)
+        return
 
     install_reference_import_stubs()
     if REF not in sys.path:
