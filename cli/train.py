@@ -70,7 +70,7 @@ PRESETS = {
     "dp-variant": dict(model="spatial_150", beta_rec=1.0, beta_neg=256.0,
                        beta_kl=1.0, augment=None, trainer="soft_intro",
                        exp_elbo_weight=0.25, loss_multiplier=1.0,
-                       scale=1.0 / (80 * 96 * 80)),
+                       scale=1.0 / (80 * 96 * 80), dp_semantics=True),
 }
 
 
@@ -119,6 +119,30 @@ def build_pipelines(args, input_shape, augment_spec=None):
     return train, val, mesh
 
 
+def apply_health_gate(model, cfg, val_source, run_dir, batch):
+    """Post-training health gate (VERDICT r4 next-#5): checkpoint-sweep the
+    val split and apply the frozen r4 criterion. Exits 1 if unhealthy, so a
+    training job's exit code certifies the run."""
+    import numpy as np
+
+    from sivae_tpu.data.preprocess import preprocess_voxel_np
+    from sivae_tpu.eval.sweep import run_health, sweep_checkpoints
+
+    vox = np.stack([preprocess_voxel_np(v) for v in val_source.voxels])[..., None]
+    sweep = sweep_checkpoints(
+        model, cfg, vox,
+        ckpt_dir=os.path.abspath(os.path.join(run_dir, "ckpt")),
+        batch_size=batch)
+    with open(os.path.join(run_dir, "sweep.json"), "w") as f:
+        json.dump(sweep, f, indent=2)
+    health = run_health(sweep)  # frozen r4 thresholds (the defaults)
+    with open(os.path.join(run_dir, "health.json"), "w") as f:
+        json.dump(health, f, indent=2)
+    print("health gate:", json.dumps(health))
+    if not health["healthy"]:
+        sys.exit(1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=sorted(PRESETS), default="z1200")
@@ -165,6 +189,13 @@ def main():
                          "vae/cae, my_trainer.py:628)")
     ap.add_argument("--pretrained", default=None,
                     help="torch .pth or orbax dir for warm start")
+    ap.add_argument("--health-gate", action="store_true",
+                    help="after soft-intro training, sweep the run's "
+                         "checkpoints on the val split and apply the FROZEN "
+                         "r4 long-run health criterion (eval/sweep.py "
+                         "run_health: drift_frac=0.3, min_ssim3d=0.2); "
+                         "writes sweep.json + health.json into the run dir "
+                         "and exits 1 if unhealthy")
     args = ap.parse_args()
 
     from sivae_tpu.utils.compile_cache import enable_compile_cache
@@ -178,6 +209,9 @@ def main():
     from sivae_tpu.train.loop import SoftIntroTrainer, VAETrainer
 
     preset = PRESETS[args.preset]
+    if args.health_gate and preset["trainer"] in ("vae", "cae"):
+        ap.error("--health-gate applies to the soft-intro trainers only "
+                 "(the criterion is calibrated on adversarial drift)")
     cfg = get_model_config(args.model or preset["model"])
     if args.bf16:
         cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
@@ -233,7 +267,8 @@ def main():
                  else preset.get("beta_kl", 0.75)),
         exp_elbo_weight=preset.get("exp_elbo_weight", 0.5),
         loss_multiplier=preset.get("loss_multiplier", 10.0),
-        scale=preset.get("scale"))
+        scale=preset.get("scale"),
+        dp_semantics=preset.get("dp_semantics", False))
     if args.gamma_r is not None:
         loss_cfg = dataclasses.replace(loss_cfg, gamma_r=args.gamma_r)
 
@@ -254,6 +289,8 @@ def main():
             enc_params=vtr.state.enc_params, dec_params=vtr.state.dec_params,
             enc_stats=vtr.state.enc_stats, dec_stats=vtr.state.dec_stats)
         trainer.fit(train, val, epochs=args.epochs)
+        if args.health_gate:
+            apply_health_gate(model, cfg, val.source, run_dir, args.batch)
         return
 
     trainer = SoftIntroTrainer(model, cfg, loss_cfg, optim_cfg, train_cfg,
@@ -277,6 +314,8 @@ def main():
             dec_params=imported["dec"]["params"], dec_stats=imported["dec"]["batch_stats"])
         print(f"warm-started from {args.pretrained}")
     trainer.fit(train, val, epochs=args.epochs)
+    if args.health_gate:
+        apply_health_gate(model, cfg, val.source, run_dir, args.batch)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,50 @@ def test_train_then_eval_over_fake_tree(fake_adni_tree, tmp_path, monkeypatch):
     assert np.isfinite(report["rmse"])
 
 
+def test_health_gate_wiring(fake_adni_tree, tmp_path, monkeypatch):
+    """--health-gate (VERDICT r4 next-#5): after training, the run dir gains
+    sweep.json + health.json and the process exit code equals the health
+    verdict. A 3-epoch tiny run may legitimately be 'unhealthy' (no
+    convergence yet), so the test asserts wiring + artifact consistency,
+    not a pass."""
+    from cli import train as cli_train
+
+    run_dir = str(tmp_path / "run_gated")
+    argv = [
+        "train", "--preset", "z1200", "--model", "tiny_spatial",
+        "--data-root", str(fake_adni_tree),
+        "--epochs", "3", "--batch", "2", "--checkpoint-every", "1",
+        "--no-bf16", "--no-data-parallel", "--run-dir", run_dir,
+        "--health-gate",
+    ]
+    code = 0
+    try:
+        _run_main(cli_train, argv, monkeypatch)
+    except SystemExit as e:
+        code = e.code or 0
+    with open(os.path.join(run_dir, "sweep.json")) as f:
+        sweep = json.load(f)
+    with open(os.path.join(run_dir, "health.json")) as f:
+        health = json.load(f)
+    assert len(sweep) == 3 and all(np.isfinite(r["rmse"]) for r in sweep)
+    assert code == (0 if health["healthy"] else 1)
+    assert health["criterion"] == {"drift_frac": 0.3, "min_ssim3d": 0.2}
+
+
+def test_health_gate_rejected_for_vae(fake_adni_tree, tmp_path, monkeypatch):
+    from cli import train as cli_train
+
+    with pytest.raises(SystemExit) as ei:
+        _run_main(cli_train, [
+            "train", "--preset", "vae", "--model", "tiny_spatial",
+            "--data-root", str(fake_adni_tree),
+            "--epochs", "1", "--batch", "2",
+            "--no-bf16", "--no-data-parallel",
+            "--run-dir", str(tmp_path / "run_vae"), "--health-gate",
+        ], monkeypatch)
+    assert ei.value.code == 2  # argparse error
+
+
 def test_blacklisted_uid_never_loaded(fake_adni_tree):
     from sivae_tpu.data.catalog import load_data
 

@@ -67,3 +67,53 @@ def test_bench_backend_probe_cpu(monkeypatch):
 
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     bench.probe_backend(probe_timeout_s=120, retry_window_s=0)
+
+
+def test_oracle_cache_roundtrip(tmp_path, monkeypatch):
+    """pack_state/unpack_state + save/load round-trip (the oracle tier's
+    replay memoization, VERDICT r4 next-#8): every tree leaf, both Adam
+    moment trees, counts and extras survive the npz trip bit-exactly."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    import oracle_cache
+
+    monkeypatch.setattr(oracle_cache, "CACHE_DIR", str(tmp_path))
+    rng = np.random.RandomState(0)
+    params_e = {"Conv_0": {"kernel": rng.randn(3, 3, 3, 2, 4).astype(np.float32)},
+                "BN_0": {"scale": rng.randn(4).astype(np.float32)}}
+    params_d = {"Conv_1": {"kernel": rng.randn(1, 1, 1, 4, 2).astype(np.float32)}}
+    stats_e = {"BN_0": {"mean": rng.randn(4).astype(np.float32),
+                        "var": rng.rand(4).astype(np.float32)}}
+    stats_d = {"BN_1": {"mean": rng.randn(2).astype(np.float32),
+                        "var": rng.rand(2).astype(np.float32)}}
+    mk = lambda t: {k: {k2: v2 * 0.1 for k2, v2 in v.items()}
+                    for k, v in t.items()}
+    state = SimpleNamespace(
+        enc_params=params_e, dec_params=params_d,
+        enc_stats=stats_e, dec_stats=stats_d,
+        opt_e=(SimpleNamespace(mu=mk(params_e), nu=mk(params_e),
+                               count=np.int32(5)),),
+        opt_d=(SimpleNamespace(mu=mk(params_d), nu=mk(params_d),
+                               count=np.int32(5)),))
+    flat = oracle_cache.pack_state(state, extra={"lossE": [1.0, 2.0],
+                                                 "val_e": 3.5})
+    oracle_cache.save("t", "k", flat)
+    loaded = oracle_cache.load("t", "k")
+    assert oracle_cache.load("t", "other") is None
+    imported = {"enc": {"params": params_e, "batch_stats": stats_e},
+                "dec": {"params": params_d, "batch_stats": stats_d}}
+    out, extra = oracle_cache.unpack_state(loaded, imported)
+    np.testing.assert_array_equal(
+        out.enc_params["Conv_0"]["kernel"], params_e["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(
+        out.opt_d[0].mu["Conv_1"]["kernel"],
+        0.1 * params_d["Conv_1"]["kernel"].astype(np.float32))
+    assert int(out.opt_e[0].count) == 5
+    np.testing.assert_array_equal(extra["lossE"], [1.0, 2.0])
+    assert float(extra["val_e"]) == 3.5
+    # key changes when a source file changes (conservative invalidation)
+    k1 = oracle_cache.replay_key(__file__)
+    assert k1 == oracle_cache.replay_key(__file__)
+    assert k1 != oracle_cache.replay_key()
