@@ -15,6 +15,24 @@ from sivae_tpu.models.resnet_vae import reparameterize
 from sivae_tpu.ops.metrics import psnr, rmse, ssim
 
 
+def make_rec_fn(model, val_eps: float = 0.1):
+    """One jitted eval-mode reconstruction fn taking (variables, x).
+
+    `variables` MUST be an explicit argument: a per-checkpoint closure
+    would bake each checkpoint's params into the executable as constants
+    and recompile per checkpoint — a checkpoint sweep then accumulates one
+    multi-GB executable per epoch (the round-5 health-gate host OOM)."""
+
+    @jax.jit
+    def rec_fn(variables, x):
+        (mu, logvar), _ = model.encode(variables["enc"], x)
+        z = reparameterize(None, mu, logvar, val_eps=val_eps)
+        y, _ = model.decode(variables["dec"], z)
+        return y
+
+    return rec_fn
+
+
 def reconstruction_report(
     model,
     variables,
@@ -22,15 +40,15 @@ def reconstruction_report(
     batch_size: int = 8,
     val_eps: float = 0.1,
     panel_path: Optional[str] = None,
+    rec_fn=None,
 ) -> Dict[str, float]:
-    """Returns {'rmse', 'psnr', 'ssim3d', 'ssim_center_slice'} means."""
+    """Returns {'rmse', 'psnr', 'ssim3d', 'ssim_center_slice'} means.
 
-    @jax.jit
-    def rec_fn(x):
-        (mu, logvar), _ = model.encode(variables["enc"], x)
-        z = reparameterize(None, mu, logvar, val_eps=val_eps)
-        y, _ = model.decode(variables["dec"], z)
-        return y
+    Pass a shared `rec_fn` from make_rec_fn when calling repeatedly with
+    different variables (e.g. a checkpoint sweep) so the forward compiles
+    once for the whole sweep."""
+    if rec_fn is None:
+        rec_fn = make_rec_fn(model, val_eps=val_eps)
 
     n = voxels.shape[0]
     rmses, psnrs, ssims3d, ssims2d = [], [], [], []
@@ -40,7 +58,7 @@ def reconstruction_report(
         pad = batch_size - x.shape[0]
         if pad:  # pad the tail to keep one compiled shape; metrics skip the pad
             x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-        y = np.asarray(rec_fn(x), np.float32)
+        y = np.asarray(rec_fn(variables, x), np.float32)
         if pad:
             x, y = x[:batch_size - pad], y[:batch_size - pad]
         if first_batch is None:

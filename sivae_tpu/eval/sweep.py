@@ -26,15 +26,24 @@ def sweep_checkpoints(
     panel_dir: Optional[str] = None,
 ) -> List[Dict[str, float]]:
     """Evaluate every checkpoint; returns [{'step': s, 'rmse': ..., ...}]."""
+    import gc
+
     import jax
     import jax.numpy as jnp
 
+    from sivae_tpu.eval.recon_quality import make_rec_fn
+
     results: List[Dict[str, float]] = []
+    # Compile the eval forward ONCE for the whole sweep (variables are an
+    # argument, not closure constants) — per-checkpoint jit closures leak
+    # one params-baked executable per epoch and OOM long sweeps.
+    rec_fn = make_rec_fn(model)
 
     def eval_variables(tag, variables):
         panel = os.path.join(panel_dir, f"recon_{tag}.jpg") if panel_dir else None
         rep = reconstruction_report(model, variables, voxels,
-                                    batch_size=batch_size, panel_path=panel)
+                                    batch_size=batch_size, panel_path=panel,
+                                    rec_fn=rec_fn)
         rep["checkpoint"] = tag
         results.append(rep)
 
@@ -54,6 +63,12 @@ def sweep_checkpoints(
                 "enc": {"params": state.enc_params, "batch_stats": state.enc_stats},
                 "dec": {"params": state.dec_params, "batch_stats": state.dec_stats}}
             eval_variables(str(step), variables)
+            # orbax restore retains ~one state copy per call host-side
+            # (measured 165 MB/restore on the flagship); drop our refs and
+            # collect so a long sweep's footprint stays bounded by that
+            # orbax-internal leak alone.
+            del state, variables
+            gc.collect()
 
     if torch_paths:
         from sivae_tpu.utils.torch_import import import_torch_checkpoint

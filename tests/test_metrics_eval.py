@@ -110,6 +110,27 @@ def test_reconstruction_report(tiny_model_and_data, tmp_path):
     assert (tmp_path / "panel.jpg").exists()
 
 
+def test_rec_fn_shared_across_checkpoints(tiny_model_and_data):
+    """A sweep must compile the eval forward ONCE: per-checkpoint jit
+    closures bake each checkpoint's params into a new executable and a
+    long sweep OOMs the host (round-5 health-gate failure)."""
+    import jax
+
+    from sivae_tpu.eval.recon_quality import make_rec_fn
+
+    model, variables, x, labels, cfg = tiny_model_and_data
+    rec_fn = make_rec_fn(model)
+    variables2 = jax.tree.map(lambda a: a + 0.01, variables)
+    r1 = reconstruction_report(model, variables, x[:4], batch_size=4,
+                               rec_fn=rec_fn)
+    r2 = reconstruction_report(model, variables2, x[:4], batch_size=4,
+                               rec_fn=rec_fn)
+    # different params actually flowed through the shared fn
+    assert r1["rmse"] != r2["rmse"]
+    # one executable serves both checkpoints: no retrace on new variables
+    assert rec_fn._cache_size() == 1
+
+
 def test_latent_embedding_3d_and_scatter(tmp_path):
     import numpy as np
 
