@@ -63,10 +63,10 @@ def sweep_checkpoints(
                 "enc": {"params": state.enc_params, "batch_stats": state.enc_stats},
                 "dec": {"params": state.dec_params, "batch_stats": state.dec_stats}}
             eval_variables(str(step), variables)
-            # orbax restore retains ~one state copy per call host-side
-            # (measured 165 MB/restore on the flagship); drop our refs and
-            # collect so a long sweep's footprint stays bounded by that
-            # orbax-internal leak alone.
+            # Drop refs + collect between checkpoints so peak host RSS is
+            # one state, not the whole sweep's. (An isolated 8-restore
+            # probe shows orbax itself retains nothing; the round-5 sweep
+            # OOM was entirely the per-checkpoint jit closures above.)
             del state, variables
             gc.collect()
 
@@ -144,5 +144,13 @@ def run_health(sweep: Sequence[Dict[str, float]],
         "improvement": float(improvement),
         "drift_given_back_frac": float(max_drift / improvement
                                        if improvement > 0 else float("inf")),
+        # Informational (NOT gated): final/best RMSE ratio. Stable across
+        # the two observed seeds (1.9-2.1) where drift_given_back_frac is
+        # not (0.24 vs 1.82) — the improvement denominator collapses when
+        # a run converges before its first checkpoint (seed-1234 run,
+        # docs/STATUS.md round-5 health-criterion note). Candidate gate
+        # statistic for a future >=3-seed recalibration.
+        "final_best_ratio": float(rows[-1]["rmse"] / best["rmse"]
+                                  if best["rmse"] > 0 else float("inf")),
         "criterion": {"drift_frac": drift_frac, "min_ssim3d": min_ssim3d},
     }

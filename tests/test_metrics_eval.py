@@ -171,6 +171,8 @@ def test_run_health_criterion():
     h = run_health(rows([0.4, 0.2, 0.1, 0.12, 0.14]))
     assert h["healthy"] and h["best_checkpoint"] == "2"
     assert abs(h["drift_given_back_frac"] - 0.04 / 0.3) < 1e-9
+    # informational final/best ratio (candidate future gate statistic)
+    assert abs(h["final_best_ratio"] - 0.14 / 0.1) < 1e-9
     # collapse: gives back most of the improvement
     c = run_health(rows([0.4, 0.1, 0.35]))
     assert not c["healthy"] and c["converged"] and not c["drift_bounded"]
