@@ -164,15 +164,16 @@ def _compile_with_retry(lowered, attempts: int = 3):
     raise last
 
 
-def sweep_encode(batches=(8, 16, 32), steps: int = 10):
+def sweep_encode(batches=(8, 16, 32, 48), steps: int = 10):
     """Find the best encode batch (VERDICT r2 next-#8: the north-star
     metric is train+encode vol/s/chip, BASELINE.json:5). Batch 64 is
     excluded by default: its no-remat encode program needs 18.76 GB
     HBM > 15.75 GB (measured 2026-08-17; the relay reports the OOM as a
     generic HTTP 500, indistinguishable from its transient flake, so
-    probing it costs 3 retried multi-minute compiles). A batch that
-    fails anyway is recorded in the table instead of killing the
-    sweep."""
+    probing it costs 3 retried multi-minute compiles). Batch 48 fits
+    (~14 GB) and is the measured best: 374.9 vol/s at MFU 0.414
+    (2026-08-20) vs 365.2 at batch 32. A batch that fails anyway is
+    recorded in the table instead of killing the sweep."""
     table = []
     best = None
     for b in batches:
